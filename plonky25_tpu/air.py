@@ -1,0 +1,78 @@
+"""AIR abstraction: constraint folding for the verifier.
+
+Backend-agnostic mirror of src/p3/air.rs.  An `Air` subclass writes its
+constraints against a `VerifierConstraintFolder`, whose `ops` member supplies
+the GF(p^2) arithmetic of whichever backend is running (plain ints for the
+refimpl oracle, JAX GL2 pytrees for the TPU path).  Folding semantics are
+identical to the reference: `assert_zero(x)` performs
+`acc = acc * alpha + x` (air.rs:63-69), and filtered builders multiply the
+asserted value by their selector condition first (air.rs:94-123).
+"""
+
+from __future__ import annotations
+
+
+class Air:
+    """User-implemented AIR (air.rs:10-18)."""
+
+    def name(self) -> str:
+        raise NotImplementedError
+
+    def width(self) -> int:
+        raise NotImplementedError
+
+    def eval(self, folder: "VerifierConstraintFolder") -> None:
+        raise NotImplementedError
+
+
+class VerifierConstraintFolder:
+    """air.rs:20-27 plus the builder methods at air.rs:34-92."""
+
+    def __init__(self, ops, main, is_first_row, is_last_row, is_transition, alpha):
+        self.ops = ops
+        self.main = main              # has .trace_local / .trace_next / .quotient_chunks
+        self.is_first_row = is_first_row
+        self.is_last_row = is_last_row
+        self.is_transition = is_transition
+        self.alpha = alpha
+        self.accumulator = ops.zero()
+
+    # -- filters ----------------------------------------------------------
+    def when(self, condition) -> "FilteredAirBuilder":
+        return FilteredAirBuilder(self, condition)
+
+    def when_first_row(self) -> "FilteredAirBuilder":
+        return self.when(self.is_first_row)
+
+    def when_last_row(self) -> "FilteredAirBuilder":
+        return self.when(self.is_last_row)
+
+    def when_transition(self) -> "FilteredAirBuilder":
+        return self.when(self.is_transition)
+
+    # -- assertions (air.rs:63-91) ----------------------------------------
+    def assert_zero(self, x):
+        self.accumulator = self.ops.add(self.ops.mul(self.accumulator, self.alpha), x)
+
+    def assert_eq(self, x, y):
+        self.assert_zero(self.ops.sub(x, y))
+
+    def assert_bool(self, x):
+        self.assert_zero(self.ops.mul(x, self.ops.sub(x, self.ops.one())))
+
+
+class FilteredAirBuilder:
+    """air.rs:29-32, 94-123: assertions scaled by a selector condition."""
+
+    def __init__(self, inner: VerifierConstraintFolder, condition):
+        self.inner = inner
+        self.condition = condition
+
+    def assert_zero(self, x):
+        self.inner.assert_zero(self.inner.ops.mul(self.condition, x))
+
+    def assert_eq(self, x, y):
+        self.assert_zero(self.inner.ops.sub(x, y))
+
+    def assert_bool(self, x):
+        self.inner.assert_bool(self.inner.ops.mul(self.condition, x))

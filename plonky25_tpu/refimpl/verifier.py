@@ -1,0 +1,283 @@
+"""Full Plonky3 STARK verifier, plain-int reference implementation.
+
+This is the executable specification of src/p3/verifier.rs: the same
+algorithm, with circuit `connect`s replaced by boolean equality checks.  A
+proof verifies iff `verify(...).ok` is True.
+
+The returned `VerifyTrace` also exposes every Fiat-Shamir challenge so the
+JAX/TPU path can be tested for bit-exact transcript agreement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+from ..air import Air, VerifierConstraintFolder
+from ..constants import GOLDILOCKS_P as P, EXT_DEGREE
+from ..proof import FriConfig, P3Config, Proof, derive_config
+from ..utils.bits import log2_strict, reverse_bits_len
+from .challenger import DuplexChallenger
+from .commit import verify_batch
+from .domains import TwoAdicMultiplicativeCoset
+from .field import Gl, Gl2
+
+
+class _Gl2Ops:
+    """GF(p^2) ops adapter handed to the AIR folder."""
+
+    @staticmethod
+    def add(x, y):
+        return Gl2.add(x, y)
+
+    @staticmethod
+    def sub(x, y):
+        return Gl2.sub(x, y)
+
+    @staticmethod
+    def mul(x, y):
+        return Gl2.mul(x, y)
+
+    @staticmethod
+    def zero():
+        return Gl2.ZERO
+
+    @staticmethod
+    def one():
+        return Gl2.ONE
+
+    @staticmethod
+    def from_base(b):
+        return Gl2.from_base(b)
+
+
+@dataclass
+class VerifyTrace:
+    ok: bool = False
+    # individual check outcomes
+    pow_ok: bool = False
+    merkle_ok: bool = False
+    fold_ok: bool = False
+    quotient_ok: bool = False
+    shape_ok: bool = False
+    # transcript values (for cross-backend bit-exactness tests)
+    alpha: tuple = (0, 0)
+    zeta: tuple = (0, 0)
+    alpha_fri: tuple = (0, 0)
+    betas: List[tuple] = field(default_factory=list)
+    query_indices: List[int] = field(default_factory=list)
+    reduced_openings: List[List[tuple]] = field(default_factory=list)
+    folded_evals: List[tuple] = field(default_factory=list)
+    folded_constraints: tuple = (0, 0)
+    quotient: tuple = (0, 0)
+
+
+def verify(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyTrace:
+    config = derive_config(proof, fri_config)
+    tr = VerifyTrace()
+    ch = DuplexChallenger()
+
+    degree = 1 << proof.degree_bits
+    quotient_degree = 1 << config.log_quotient_degree
+
+    trace_domain = TwoAdicMultiplicativeCoset.natural_domain_for_degree(
+        config.log_trace_height, degree
+    )
+    quotient_domain = trace_domain.create_disjoint_domain(
+        1 << (proof.degree_bits + config.log_quotient_degree)
+    )
+    quotient_chunks_domains = quotient_domain.split_domains(quotient_degree)
+
+    ov = proof.opened_values
+    air_width = air.width()
+    tr.shape_ok = (
+        len(ov.trace_local) == air_width
+        and len(ov.trace_next) == air_width
+        and len(ov.quotient_chunks) == quotient_degree
+        and all(len(qc) == EXT_DEGREE for qc in ov.quotient_chunks)
+    )
+    if not tr.shape_ok:
+        return tr
+
+    # -- transcript head (verifier.rs:135-140) -----------------------------
+    ch.observe_many(proof.commitments.trace.value)
+    alpha = ch.sample_ext()
+    ch.observe_many(proof.commitments.quotient_chunks.value)
+    zeta = ch.sample_ext()
+    zeta_next = trace_domain.next_point(zeta)
+    tr.alpha, tr.zeta = alpha, zeta
+
+    # -- PCS opening proof (verifier.rs:242-355) ----------------------------
+    commits_and_points = [
+        (
+            proof.commitments.trace.value,
+            [(trace_domain, [(zeta, ov.trace_local), (zeta_next, ov.trace_next)])],
+        ),
+        (
+            proof.commitments.quotient_chunks.value,
+            [
+                (dom, [(zeta, vals)])
+                for dom, vals in zip(quotient_chunks_domains, ov.quotient_chunks)
+            ],
+        ),
+    ]
+
+    fri_proof = proof.opening_proof.fri_proof
+    alpha_fri = ch.sample_ext()
+    tr.alpha_fri = alpha_fri
+
+    # shape & challenges (verifier.rs:357-388)
+    betas = []
+    for comm in fri_proof.commit_phase_commits:
+        ch.observe_many(comm.value)
+        betas.append(ch.sample_ext())
+    tr.betas = betas
+
+    if len(fri_proof.query_proofs) != fri_config.num_queries:
+        tr.shape_ok = False
+        return tr
+
+    tr.pow_ok = ch.check_witness(fri_config.proof_of_work_bits, fri_proof.pow_witness)
+
+    log_max_height = len(fri_proof.commit_phase_commits) + fri_config.log_blowup
+    query_indices = [
+        ch.sample_bits(log_max_height) for _ in range(fri_config.num_queries)
+    ]
+    tr.query_indices = query_indices
+
+    # reduced openings per query (verifier.rs:266-344)
+    merkle_ok = True
+    reduced_openings = []
+    for query_opening, index in zip(proof.opening_proof.query_openings, query_indices):
+        ro = [Gl2.ZERO] * 32
+        alpha_pow = [Gl2.ONE] * 32
+        for batch_opening, (batch_commit, mats) in zip(query_opening, commits_and_points):
+            batch_dims = [(0, dom.size()) for dom, _ in mats]
+            base_dims = [(w * EXT_DEGREE, h) for w, h in batch_dims]
+            merkle_ok &= verify_batch(
+                batch_commit,
+                base_dims,
+                index,
+                batch_opening.opened_values,
+                batch_opening.opening_proof,
+            )
+            for mat_opening, (mat_domain, mat_points_and_values) in zip(
+                batch_opening.opened_values, mats
+            ):
+                log_height = log2_strict(mat_domain.size()) + fri_config.log_blowup
+                bits_reduced = log_max_height - log_height
+                rev_reduced_index = reverse_bits_len(index >> bits_reduced, log_height)
+                g = Gl.two_adic_generator(log_height)
+                x = Gl.mul(7, pow(g, rev_reduced_index, P))
+                for z, ps_at_z in mat_points_and_values:
+                    for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
+                        # (p(x) - p(z)) / (x - z), built exactly as the
+                        # reference: (-p_at_z + p_at_x) / (-z + x)
+                        num = Gl2.add_base(Gl2.neg(p_at_z), p_at_x)
+                        den = Gl2.add_base(Gl2.neg(z), x)
+                        quot = Gl2.div(num, den)
+                        ro[log_height] = Gl2.add(
+                            ro[log_height], Gl2.mul(alpha_pow[log_height], quot)
+                        )
+                        alpha_pow[log_height] = Gl2.mul(alpha_pow[log_height], alpha_fri)
+        reduced_openings.append(ro)
+    tr.reduced_openings = reduced_openings
+
+    # FRI fold per query (verifier.rs:390-519)
+    fold_ok = True
+    for index, qproof, ro in zip(
+        query_indices, fri_proof.query_proofs, reduced_openings
+    ):
+        folded_eval, q_merkle_ok = _verify_query(
+            fri_proof.commit_phase_commits, index, qproof, betas, ro, log_max_height
+        )
+        merkle_ok &= q_merkle_ok
+        tr.folded_evals.append(folded_eval)
+        fold_ok &= folded_eval == fri_proof.final_poly
+    tr.fold_ok = fold_ok
+    tr.merkle_ok = merkle_ok
+
+    # -- quotient reconstruction (verifier.rs:169-219) ----------------------
+    zps = []
+    for i, domain in enumerate(quotient_chunks_domains):
+        acc = Gl2.ONE
+        for j, other in enumerate(quotient_chunks_domains):
+            if j == i:
+                continue
+            other_zeta = other.zp_at_point(zeta)
+            other_first = other.zp_at_single_point(domain.first_point())
+            acc = Gl2.mul(acc, Gl2.mul_base(other_zeta, Gl.inv(other_first)))
+        zps.append(acc)
+
+    quotient = Gl2.ZERO
+    for ch_i, chunk in enumerate(ov.quotient_chunks):
+        for e_i, c in enumerate(chunk):
+            monomial = (1, 0) if e_i == 0 else (0, 1)
+            quotient = Gl2.add(quotient, Gl2.mul(zps[ch_i], Gl2.mul(monomial, c)))
+    tr.quotient = quotient
+
+    # -- AIR constraint folding (verifier.rs:221-239) ------------------------
+    sels = trace_domain.selectors_at_point(zeta)
+    folder = VerifierConstraintFolder(
+        ops=_Gl2Ops,
+        main=ov,
+        is_first_row=sels.is_first_row,
+        is_last_row=sels.is_last_row,
+        is_transition=sels.is_transition,
+        alpha=alpha,
+    )
+    air.eval(folder)
+    folded_constraints = folder.accumulator
+    tr.folded_constraints = folded_constraints
+
+    tr.quotient_ok = Gl2.mul(folded_constraints, sels.inv_zeroifier) == quotient
+
+    tr.ok = (
+        tr.shape_ok and tr.pow_ok and tr.merkle_ok and tr.fold_ok and tr.quotient_ok
+    )
+    return tr
+
+
+def _verify_query(commit_phase_commits, index, qproof, betas, ro, log_max_height):
+    """verifier.rs:419-519."""
+    folded_eval = Gl2.ZERO
+    g = Gl.two_adic_generator(log_max_height)
+    x = Gl2.from_base(pow(g, reverse_bits_len(index, log_max_height), P))
+    merkle_ok = True
+
+    g1 = Gl2.from_base(Gl.two_adic_generator(1))  # order-2 generator = -1
+
+    for i, (commit, step, beta) in enumerate(
+        zip(commit_phase_commits, qproof.commit_phase_openings, betas)
+    ):
+        log_folded_height = log_max_height - 1 - i
+        folded_eval = Gl2.add(ro[log_folded_height + 1], folded_eval)
+
+        index_sibling = index ^ 1
+        index_pair = index >> 1
+        is_odd = index_sibling & 1
+
+        if is_odd:
+            evals = [folded_eval, step.sibling_value]
+        else:
+            evals = [step.sibling_value, folded_eval]
+
+        dims = [(2 * EXT_DEGREE, 1 << log_folded_height)]
+        leaf_row = [v for e in evals for v in e]
+        merkle_ok &= verify_batch(
+            commit.value, dims, index_pair, [leaf_row], step.opening_proof
+        )
+
+        if is_odd:
+            xs = [x, Gl2.mul(x, g1)]
+        else:
+            xs = [Gl2.mul(x, g1), x]
+
+        # folded = evals[0] + (beta - xs[0]) * (evals[1]-evals[0]) / (xs[1]-xs[0])
+        num = Gl2.mul(Gl2.sub(evals[1], evals[0]), Gl2.sub(beta, xs[0]))
+        folded_eval = Gl2.add(evals[0], Gl2.div(num, Gl2.sub(xs[1], xs[0])))
+
+        index = index_pair
+        x = Gl2.mul(x, x)
+
+    return folded_eval, merkle_ok

@@ -1,0 +1,7 @@
+from .bits import (  # noqa: F401
+    log2_strict,
+    log2_ceil,
+    reverse_bits,
+    reverse_bits_len,
+    reverse_slice_index_bits,
+)
