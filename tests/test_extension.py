@@ -1,0 +1,69 @@
+"""GF(p^2) ops vs the plain-int oracle (reference: src/p3/extension.rs)."""
+
+import random
+
+import pytest
+
+from plonky25_tpu.constants import GOLDILOCKS_P as P
+from plonky25_tpu.fields import gl2
+from plonky25_tpu.refimpl.field import Gl2
+
+
+@pytest.fixture(scope="module")
+def epairs():
+    rng = random.Random(777)
+    ps = [((rng.randrange(P), rng.randrange(P)), (rng.randrange(P), rng.randrange(P)))
+          for _ in range(200)]
+    ps += [((0, 0), (1, 0)), ((1, 0), (0, 1)), ((P - 1, P - 1), (P - 1, 1))]
+    return ps
+
+
+def _xy(epairs):
+    X = gl2.from_u64_pair([x[0] for x, _ in epairs], [x[1] for x, _ in epairs])
+    Y = gl2.from_u64_pair([y[0] for _, y in epairs], [y[1] for _, y in epairs])
+    return X, Y
+
+
+def _check(got, want):
+    g0, g1 = gl2.to_u64_pair(got)
+    assert [(a, b) for a, b in zip(g0, g1)] == list(want)
+
+
+def test_mul(epairs):
+    X, Y = _xy(epairs)
+    _check(gl2.mul(X, Y), [Gl2.mul(x, y) for x, y in epairs])
+
+
+def test_add_sub_neg(epairs):
+    X, Y = _xy(epairs)
+    _check(gl2.add(X, Y), [Gl2.add(x, y) for x, y in epairs])
+    _check(gl2.sub(X, Y), [Gl2.sub(x, y) for x, y in epairs])
+    _check(gl2.neg(X), [Gl2.neg(x) for x, _ in epairs])
+
+
+def test_inv_div(epairs):
+    nz = [(x if x != (0, 0) else (1, 0), y if y != (0, 0) else (1, 0))
+          for x, y in epairs]
+    X, Y = _xy(nz)
+    _check(gl2.inv(X), [Gl2.inv(x) for x, _ in nz])
+    _check(gl2.div(X, Y), [Gl2.div(x, y) for x, y in nz])
+
+
+def test_exp_power_of_2(epairs):
+    X, _ = _xy(epairs)
+    _check(gl2.exp_power_of_2(X, 6),
+           [Gl2.exp_power_of_2(x, 6) for x, _ in epairs])
+
+
+def test_frobenius(epairs):
+    X, _ = _xy(epairs)
+    _check(gl2.frobenius(X), [Gl2.frobenius(x) for x, _ in epairs])
+
+
+def test_two_adic_generator_int():
+    from plonky25_tpu.refimpl.field import Gl
+    for bits in (1, 2, 6, 7, 20, 32):
+        g = gl2.two_adic_generator_int(bits)
+        assert g == Gl.two_adic_generator(bits)
+        assert pow(g, 1 << bits, P) == 1
+        assert pow(g, 1 << (bits - 1), P) != 1
