@@ -35,7 +35,10 @@ class VerifierConstraintFolder:
         self.is_last_row = is_last_row
         self.is_transition = is_transition
         self.alpha = alpha
-        self.accumulator = ops.zero()
+        # Constraints are recorded and folded at the end: backends may fold
+        # them with a scan instead of a long dependent op chain (the chain
+        # form makes XLA compile time blow up superlinearly).
+        self._constraints = []
 
     # -- filters ----------------------------------------------------------
     def when(self, condition) -> "FilteredAirBuilder":
@@ -52,13 +55,25 @@ class VerifierConstraintFolder:
 
     # -- assertions (air.rs:63-91) ----------------------------------------
     def assert_zero(self, x):
-        self.accumulator = self.ops.add(self.ops.mul(self.accumulator, self.alpha), x)
+        self._constraints.append(x)
 
     def assert_eq(self, x, y):
         self.assert_zero(self.ops.sub(x, y))
 
     def assert_bool(self, x):
         self.assert_zero(self.ops.mul(x, self.ops.sub(x, self.ops.one())))
+
+    @property
+    def accumulator(self):
+        """Folded constraints: acc = acc * alpha + c_i in recording order
+        (identical math to air.rs:63-69; backends may scan-fold)."""
+        fold = getattr(self.ops, "fold_constraints", None)
+        if fold is not None:
+            return fold(self.alpha, self._constraints)
+        acc = self.ops.zero()
+        for c in self._constraints:
+            acc = self.ops.add(self.ops.mul(acc, self.alpha), c)
+        return acc
 
 
 class FilteredAirBuilder:

@@ -113,9 +113,14 @@ def div(x: GL2, y: GL2) -> GL2:
 
 
 def exp_power_of_2(x: GL2, power_log: int) -> GL2:
-    for _ in range(power_log):
-        x = square(x)
-    return x
+    """x^(2^power_log); fori_loop keeps the graph at one squaring body."""
+    if power_log <= 2:
+        for _ in range(power_log):
+            x = square(x)
+        return x
+    import jax
+
+    return jax.lax.fori_loop(0, power_log, lambda _, v: square(v), x)
 
 
 def frobenius(x: GL2) -> GL2:
@@ -184,3 +189,18 @@ class Ops:
         if isinstance(b, GL):
             return from_base(b)
         return GL2(gl.full(self._shape, int(b)), gl.zeros(self._shape))
+
+    def fold_constraints(self, alpha: GL2, constraints) -> GL2:
+        """acc = acc*alpha + c_i over the list, as ONE lax.scan body —
+        long dependent mul chains at trace level blow up XLA compile time."""
+        import jax
+
+        if not constraints:
+            return self.zero()
+        stacked = stack(constraints)
+
+        def body(acc, c):
+            return add(mul(acc, alpha), c), None
+
+        acc, _ = jax.lax.scan(body, self.zero(), stacked)
+        return acc

@@ -164,12 +164,11 @@ def constant(value: int):
 
 
 def from_u64(values) -> GL:
-    """Host-side: numpy array / list of python ints -> canonical GL."""
-    arr = np.asarray(
-        [v % P for v in np.asarray(values, dtype=object).reshape(-1)], dtype=object
-    ).reshape(np.shape(values))
-    lo = (arr & 0xFFFFFFFF).astype(np.uint32)
-    hi = (arr >> 32).astype(np.uint32)
+    """Host-side: numpy array / nested list / int of python ints -> canonical GL."""
+    shape = np.shape(values)
+    flat = [int(v) % P for v in np.asarray(values, dtype=object).reshape(-1)]
+    lo = np.asarray([v & 0xFFFFFFFF for v in flat], dtype=np.uint32).reshape(shape)
+    hi = np.asarray([v >> 32 for v in flat], dtype=np.uint32).reshape(shape)
     return GL(jnp.asarray(lo), jnp.asarray(hi))
 
 
@@ -290,9 +289,13 @@ def inv(a: GL) -> GL:
 
 
 def _sqn(x: GL, n: int) -> GL:
-    for _ in range(n):
-        x = square(x)
-    return x
+    """x^(2^n); fori_loop keeps the traced graph at one squaring body."""
+    if n <= 2:
+        for _ in range(n):
+            x = square(x)
+        return x
+    import jax
+    return jax.lax.fori_loop(0, n, lambda _, v: square(v), x)
 
 
 def div(a: GL, b: GL) -> GL:
@@ -305,16 +308,25 @@ def pow_u32(base_int: int, exp_u32, nbits: int) -> GL:
 
     Replaces the reference's in-circuit 64-bit `exp` (verifier.rs:309,433)
     with a table of base^(2^k) constants and a masked product — TPU-friendly
-    (static shapes, no data-dependent control flow)."""
+    (static shapes, no data-dependent control flow; fori_loop keeps the
+    traced graph at one multiply body)."""
+    import jax
+
     exp_u32 = _u32(exp_u32)
-    acc = ones(jnp.shape(exp_u32))
+    table_vals = []
     b = base_int % P
-    for k in range(nbits):
-        bit = ((exp_u32 >> k) & jnp.uint32(1)).astype(bool)
-        pk = full(jnp.shape(exp_u32), b)
-        acc = select(bit, mul(acc, pk), acc)
+    for _ in range(nbits):
+        table_vals.append(b)
         b = (b * b) % P
-    return acc
+    table = from_u64(table_vals)  # (nbits,)
+    shape = jnp.shape(exp_u32)
+
+    def body(k, acc):
+        bit = ((exp_u32 >> k.astype(U32)) & jnp.uint32(1)).astype(bool)
+        pk = broadcast_to(table[k], shape)
+        return select(bit, mul(acc, pk), acc)
+
+    return jax.lax.fori_loop(0, nbits, body, ones(shape))
 
 
 def stack(elems, axis=0):

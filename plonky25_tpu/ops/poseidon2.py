@@ -114,10 +114,13 @@ def _internal_round(state: GL, rc: GL, diag: GL) -> GL:
     return gl.add(gl.mul(diag, state), _expand(total, (..., None)))
 
 
+@jax.jit
 def poseidon2_permute(state: GL) -> GL:
     """Permute a GL array of shape (..., 12); batched over leading dims.
 
-    Uses lax.scan over rounds so the compiled graph stays small."""
+    Uses lax.scan over rounds so the compiled graph stays small; the jit
+    wrapper deduplicates the traced body across call sites with the same
+    batch shape (several Merkle/transcript stages reuse one instance)."""
     assert state.shape[-1] == WIDTH
     rc_ext = _rc_ext()
     rc_mid = _rc_mid()
@@ -137,6 +140,5 @@ def poseidon2_permute(state: GL) -> GL:
     return state
 
 
-@jax.jit
-def poseidon2_permute_jit(state: GL) -> GL:
-    return poseidon2_permute(state)
+# Back-compat alias (poseidon2_permute is itself jitted).
+poseidon2_permute_jit = poseidon2_permute

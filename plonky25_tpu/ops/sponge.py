@@ -1,0 +1,92 @@
+"""Batched MMCS sponge/Merkle primitives (reference: src/p3/commit.rs).
+
+Everything is vectorized over a leading query-batch axis and expressed with
+lax.scan over path levels so each call contributes a constant number of
+permutation bodies to the compiled graph, independent of depth (the
+compile-cost discipline that governs this framework).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import RATE, DIGEST_ELEMS, WIDTH
+from ..fields import gl
+from ..fields.goldilocks import GL
+from .poseidon2 import poseidon2_permute
+
+
+def hash_rows(rows: GL) -> GL:
+    """Overwrite-mode sponge over rows of static width (commit.rs:23-46).
+
+    rows: GL (..., L).  Returns GL (..., DIGEST_ELEMS).  Chunks of RATE
+    overwrite the state prefix, permuting after each chunk (the final
+    partial chunk included)."""
+    batch = rows.shape[:-1]
+    L = rows.shape[-1]
+    state = gl.zeros((*batch, WIDTH))
+    for off in range(0, L, RATE):
+        k = min(RATE, L - off)
+        chunk = rows[..., off:off + k]
+        state = GL(
+            jnp.concatenate([chunk.lo, state.lo[..., k:]], axis=-1),
+            jnp.concatenate([chunk.hi, state.hi[..., k:]], axis=-1),
+        )
+        state = poseidon2_permute(state)
+    return state[..., :DIGEST_ELEMS]
+
+
+def compress(left: GL, right: GL) -> GL:
+    """2-to-1: permute [left||right||0^4], keep 4 (commit.rs:48-60).
+
+    left/right: GL (..., 4)."""
+    batch = left.shape[:-1]
+    zeros = gl.zeros((*batch, WIDTH - 2 * DIGEST_ELEMS))
+    state = gl.concatenate([left, right, zeros], axis=-1)
+    return poseidon2_permute(state)[..., :DIGEST_ELEMS]
+
+
+def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None):
+    """Walk a batch of Merkle paths (commit.rs:92-123, single-matrix case).
+
+    leaf_digest: GL (Q, 4); index: uint32 (Q,); siblings: GL (Q, D, 4);
+    valid: optional bool (D,) mask for padded depths (masked steps leave the
+    root and index untouched).  Returns (root GL (Q, 4), index_out (Q,)).
+    """
+    D = siblings.shape[-2]
+    if valid is None:
+        valid = jnp.ones((D,), bool)
+    sib_scan = GL(
+        jnp.moveaxis(siblings.lo, -2, 0),
+        jnp.moveaxis(siblings.hi, -2, 0),
+    )  # (D, Q, 4)
+
+    def body(carry, xs):
+        root, idx = carry
+        sib, v = xs
+        is_odd = (idx & jnp.uint32(1)).astype(bool)[..., None]
+        left = gl.select(is_odd, sib, root)
+        right = gl.select(is_odd, root, sib)
+        new_root = compress(left, right)
+        root = gl.select(v, new_root, root)
+        idx = jnp.where(v, idx >> 1, idx)
+        return (root, idx), None
+
+    (root, idx), _ = jax.lax.scan(
+        body, (leaf_digest, jnp.asarray(index, jnp.uint32)), (sib_scan, valid)
+    )
+    return root, idx
+
+
+def verify_batch_single(commit: GL, leaf_rows: GL, index, siblings: GL, valid=None):
+    """verify_batch for a batch whose matrices all live at the tallest
+    height (the only case the fibonacci workload exercises; the general
+    multi-height fold-in is built in plonky25_tpu.commit).
+
+    commit: GL (4,); leaf_rows: GL (Q, L); index (Q,); siblings (Q, D, 4).
+    Returns ok: bool (Q,)."""
+    digest = hash_rows(leaf_rows)
+    root, _ = merkle_path(digest, index, siblings, valid)
+    want = gl.broadcast_to(commit, root.shape)
+    return jnp.all(gl.eq(root, want), axis=-1)

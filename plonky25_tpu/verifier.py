@@ -1,0 +1,440 @@
+"""TPU-native Plonky3 STARK verifier.
+
+Re-expresses the reference's circuit-emission verifier
+(src/p3/verifier.rs:100-519) as batched, shape-specialized JAX programs:
+
+  * the Fiat-Shamir transcript runs as ONE lax.scan over duplex steps
+    (static schedule from a trace-time symbolic challenger replay);
+  * the 100-query work - Merkle batch openings, reduced-opening
+    accumulation, FRI fold - is vectorized over the query axis and scanned
+    over levels (verifier.rs:266-344, 419-519);
+  * every `connect` becomes an equality check folded into a verdict.
+
+Compile-cost discipline: XLA compile time is superlinear in module size on
+this toolchain (measured: a fused 23k-eqn verifier took >8 min, the same
+work split into five stages ~30 s total), so the verifier is five
+separately-jitted stages - transcript, per-batch Merkle, reduced openings,
+FRI fold, constraint finale - glued by cheap host/eager ops.  Field
+inversions are batched into single graph instances; fori_loop/scan keep
+square chains and round loops at one traced body each.
+
+All host-derivable scalars (domain shifts, generators, their inverses, the
+zps first-point factors) are computed on host ints at specialization time -
+they depend only on the proof shape, never on proof values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .air import Air, VerifierConstraintFolder
+from .challenger import SymbolicChallenger, run_transcript
+from .constants import EXT_DEGREE
+from .fields import gl, gl2
+from .fields.extension import GL2
+from .fields.goldilocks import GL
+from .ops.sponge import hash_rows, merkle_path, verify_batch_single
+from .ops.u32 import reverse_bits_len_u32
+from .proof import FriConfig, P3Config, Proof, derive_config
+from .refimpl.domains import TwoAdicMultiplicativeCoset
+from .refimpl.field import Gl
+from .utils.bits import log2_strict
+from .witness import fold_valid_mask, pack_witness
+
+
+@dataclass
+class VerifyResult:
+    ok: object
+    pow_ok: object
+    merkle_ok: object
+    fold_ok: object
+    quotient_ok: object
+    shape_ok: bool
+    # diagnostics (transcript cross-check against the oracle)
+    alpha: GL2 = None
+    zeta: GL2 = None
+    query_indices: object = None
+
+
+class _Main:
+    """Adapter giving the AIR folder the reference's OpenedValues view."""
+
+    def __init__(self, trace_local, trace_next, quotient_chunks):
+        self.trace_local = trace_local
+        self.trace_next = trace_next
+        self.quotient_chunks = quotient_chunks
+
+
+class TpuVerifier:
+    """Shape-specialized verifier; build once per (air, P3Config)."""
+
+    def __init__(self, air: Air, config: P3Config):
+        self.air = air
+        self.config = config
+        fc = config.fri_config
+        self.Q = fc.num_queries
+        self.n_phases = config.log_trace_height
+        self.log_max_height = self.n_phases + fc.log_blowup
+        assert self.log_max_height <= 32, "query indices beyond u32 unsupported"
+        self.degree_bits = config.degree_bits
+        self.quotient_degree = 1 << config.log_quotient_degree
+
+        # ---- host domain math (refimpl ints; two_adic.rs semantics)
+        degree = 1 << self.degree_bits
+        self.trace_domain = TwoAdicMultiplicativeCoset.natural_domain_for_degree(
+            config.log_trace_height, degree
+        )
+        qd = self.trace_domain.create_disjoint_domain(
+            1 << (self.degree_bits + config.log_quotient_degree)
+        )
+        self.quotient_chunks_domains = qd.split_domains(self.quotient_degree)
+
+        # zps host factors: prod_{j != i} 1 / zp_j(first_i)  (verifier.rs:169-197)
+        self.zps_host = []
+        for i, dom in enumerate(self.quotient_chunks_domains):
+            acc = 1
+            for j, other in enumerate(self.quotient_chunks_domains):
+                if j != i:
+                    acc = Gl.mul(acc, Gl.inv(other.zp_at_single_point(dom.first_point())))
+            self.zps_host.append(acc)
+
+        # ---- transcript schedule (symbolic replay; see challenger.py)
+        sym = SymbolicChallenger()
+        sym.observe(4)                              # trace commitment
+        self.alpha_idx = sym.sample_ext()
+        sym.observe(4)                              # quotient commitment
+        self.zeta_idx = sym.sample_ext()
+        self.alpha_fri_idx = sym.sample_ext()       # verifier.rs:258
+        self.beta_idx = []
+        for _ in range(self.n_phases):
+            sym.observe(4)
+            self.beta_idx.append(sym.sample_ext())
+        sym.observe(1)                              # pow witness
+        self.pow_idx = sym.sample()
+        self.query_idx = [sym.sample() for _ in range(self.Q)]
+        self.schedule = sym.schedule()
+
+        # observation layout (witness.pack_witness order)
+        self.obs_trace_commit = slice(0, 4)
+        self.obs_quotient_commit = slice(4, 8)
+        self.obs_phase_commits = slice(8, 8 + 4 * self.n_phases)
+
+        # ---- batch/matrix/term schedule (verifier.rs:266-344)
+        # batch 0: trace (1 matrix, points zeta & zeta*g); batch 1: quotient
+        # (one matrix per chunk, point zeta).
+        self.mats = [{"batch": 0, "row": 0,
+                      "log_height": log2_strict(self.trace_domain.size()) + fc.log_blowup}]
+        for c, dom in enumerate(self.quotient_chunks_domains):
+            self.mats.append({"batch": 1, "row": c,
+                              "log_height": log2_strict(dom.size()) + fc.log_blowup})
+
+        self.terms = []  # static reduced-opening term schedule
+        k_at_height: Dict[int, int] = {}
+
+        def add_term(mat_i, col, z_name, pz_ref):
+            h = self.mats[mat_i]["log_height"]
+            k = k_at_height.get(h, 0)
+            k_at_height[h] = k + 1
+            self.terms.append(
+                {"mat": mat_i, "col": col, "z": z_name, "pz": pz_ref, "h": h, "k": k}
+            )
+
+        for col in range(config.trace_width):
+            add_term(0, col, "zeta", ("trace_local", col))
+        for col in range(config.trace_width):
+            add_term(0, col, "zeta_next", ("trace_next", col))
+        for c in range(self.quotient_degree):
+            for e in range(EXT_DEGREE):
+                add_term(1 + c, e, "zeta", ("qc", c, e))
+        self.max_alpha_pow = max(k_at_height.values())
+        self.fold_heights = [self.log_max_height - 1 - l for l in range(self.n_phases)]
+        self.fold_valid = fold_valid_mask(config)
+
+        # ---- jitted stages
+        self._s_transcript = jax.jit(self._transcript_fn)
+        self._s_batch = jax.jit(self._batch_fn)
+        self._s_ro = jax.jit(self._ro_fn)
+        self._s_fold = jax.jit(self._fold_fn)
+        self._s_final = jax.jit(self._final_fn)
+
+    # ---------------------------------------------------------------- stages
+    def _transcript_fn(self, obs: GL):
+        """Whole Fiat-Shamir transcript (one scan) + PoW check + indices."""
+        ch = run_transcript(self.schedule, obs)
+        fc = self.config.fri_config
+        pow_s = ch[self.pow_idx]
+        bits = fc.proof_of_work_bits
+        pow_ok = (pow_s.lo & np.uint32((1 << min(bits, 32)) - 1)) == 0
+        if bits > 32:
+            pow_ok &= (pow_s.hi & np.uint32((1 << (bits - 32)) - 1)) == 0
+        q_samples = ch[jnp.asarray(self.query_idx)]
+        index = q_samples.lo & np.uint32((1 << self.log_max_height) - 1)
+        return ch, pow_ok, index
+
+    def _batch_fn(self, index, vals: GL, sibs: GL, commit: GL):
+        """Merkle batch opening for one committed batch (verifier.rs:276-294)."""
+        leaf = vals.reshape(self.Q, -1)
+        return verify_batch_single(commit, leaf, index, sibs)
+
+    def _ro_fn(self, index, zeta: GL2, zeta_next: GL2, alpha_fri: GL2,
+               batch_values, trace_local: GL2, trace_next: GL2,
+               quotient_chunks: GL2):
+        """Reduced-opening accumulators (verifier.rs:296-344), batched over
+        queries with ONE GF(p^2) inversion instance for all quotient terms."""
+        Q = self.Q
+
+        x_of_mat = []
+        for m in self.mats:
+            h = m["log_height"]
+            g_h = Gl.two_adic_generator(h)
+            idx_sh = index >> np.uint32(self.log_max_height - h)
+            rev = reverse_bits_len_u32(idx_sh, h)
+            x_of_mat.append(gl.mul(gl.full((Q,), 7), gl.pow_u32(g_h, rev, h)))
+
+        z_of = {"zeta": zeta, "zeta_next": zeta_next}
+
+        def pz_value(ref) -> GL2:
+            kind = ref[0]
+            if kind == "trace_local":
+                return trace_local[ref[1]]
+            if kind == "trace_next":
+                return trace_next[ref[1]]
+            return quotient_chunks[ref[1], ref[2]]
+
+        # alpha_fri powers (scan: one ext-mul body)
+        def _pow_body(acc, _):
+            return gl2.mul(acc, alpha_fri), acc
+
+        _, pow_stack = jax.lax.scan(
+            _pow_body, gl2.ones(()), None, length=self.max_alpha_pow
+        )
+
+        num_rows, den_rows, coef_rows = [], [], []
+        for t in self.terms:
+            x = x_of_mat[t["mat"]]
+            z = z_of[t["z"]]
+            pz = pz_value(t["pz"])
+            mat = self.mats[t["mat"]]
+            p_at_x = batch_values[mat["batch"]][:, mat["row"], t["col"]]
+            # (-p_at_z + p_at_x) / (-z + x)   (verifier.rs:313-321)
+            num_rows.append(gl2.add_base(gl2.broadcast_to(gl2.neg(pz), (Q,)), p_at_x))
+            den_rows.append(gl2.add_base(gl2.broadcast_to(gl2.neg(z), (Q,)), x))
+            coef_rows.append(gl2.broadcast_to(pow_stack[t["k"]], (Q,)))
+
+        nums = gl2.stack(num_rows)      # (T, Q)
+        dens = gl2.stack(den_rows)
+        coefs = gl2.stack(coef_rows)
+        contribs = gl2.mul(coefs, gl2.mul(nums, gl2.inv(dens)))
+
+        ro_by_height: Dict[int, GL2] = {}
+        for i, t in enumerate(self.terms):
+            h = t["h"]
+            c = contribs[i]
+            ro_by_height[h] = c if h not in ro_by_height else gl2.add(ro_by_height[h], c)
+
+        ro_levels = []
+        for l in range(self.n_phases):
+            h = self.fold_heights[l] + 1
+            ro_levels.append(ro_by_height.get(h, gl2.zeros((Q,))))
+        return gl2.stack(ro_levels)     # (L, Q)
+
+    def _fold_fn(self, index, phase_commits: GL, betas_stack: GL2,
+                 sib_vals: GL2, ro_stack: GL2, fold_sibs: GL,
+                 final_poly: GL2):
+        """FRI fold (verifier.rs:419-519): scan over levels; per level one
+        leaf hash + one masked Merkle-path scan + the beta interpolation."""
+        Q = self.Q
+        valid = jnp.asarray(self.fold_valid)
+
+        g_logmax = Gl.two_adic_generator(self.log_max_height)
+        rev_full = reverse_bits_len_u32(index, self.log_max_height)
+        x_init = gl2.from_base(gl.pow_u32(g_logmax, rev_full, self.log_max_height))
+
+        def fold_body(carry, xs):
+            folded, idx, x, ok = carry
+            commit, beta, sib_val, ro_l, sibs, v = xs
+            folded = gl2.add(ro_l, folded)
+
+            idx_sibling = idx ^ jnp.uint32(1)
+            idx_pair = idx >> 1
+            is_odd = (idx_sibling & jnp.uint32(1)).astype(bool)
+
+            e0 = gl2.select(is_odd, folded, sib_val)
+            e1 = gl2.select(is_odd, sib_val, folded)
+
+            # leaf row = [e0.c0, e0.c1, e1.c0, e1.c1] (verifier.rs:471-481)
+            leaf = gl.stack([e0.c0, e0.c1, e1.c0, e1.c1], axis=-1)
+            digest = hash_rows(leaf)
+            root, _ = merkle_path(digest, idx_pair, sibs, v)
+            ok &= jnp.all(gl.eq(root, gl.broadcast_to(commit, root.shape)), axis=-1)
+
+            # sibling x-coordinate differs by the order-2 generator (= -1)
+            x_neg = gl2.neg(x)
+            xs0 = gl2.select(is_odd, x, x_neg)
+            xs1 = gl2.select(is_odd, x_neg, x)
+
+            num = gl2.mul(gl2.sub(e1, e0), gl2.sub(gl2.broadcast_to(beta, (Q,)), xs0))
+            folded = gl2.add(e0, gl2.mul(gl2.inv(gl2.sub(xs1, xs0)), num))
+            return (folded, idx_pair, gl2.square(x), ok), None
+
+        init = (gl2.zeros((Q,)), index, x_init, jnp.ones((Q,), bool))
+        xs = (phase_commits, betas_stack, sib_vals, ro_stack, fold_sibs, valid)
+        (folded_eval, _, _, ok), _ = jax.lax.scan(fold_body, init, xs)
+
+        fp = gl2.broadcast_to(final_poly, (Q,))
+        return jnp.all(gl2.eq(folded_eval, fp) & ok)
+
+    def _final_fn(self, alpha: GL2, zeta: GL2, trace_local: GL2,
+                  trace_next: GL2, quotient_chunks: GL2):
+        """Quotient reconstruction + Lagrange selectors + AIR folding
+        (verifier.rs:169-239)."""
+        cfg = self.config
+
+        # zps[i] = (prod_{j!=i} zp_j(zeta)) * host_factor_i
+        zp_at_zeta = []
+        for dom in self.quotient_chunks_domains:
+            shift_inv = Gl.inv(dom.shift)
+            u = gl2.mul_base(zeta, gl.full((), shift_inv))
+            zp_at_zeta.append(gl2.sub(gl2.exp_power_of_2(u, dom.log_n), gl2.ones(())))
+
+        quotient = gl2.zeros(())
+        for i in range(self.quotient_degree):
+            zps_i = gl2.from_base(gl.full((), self.zps_host[i]))
+            for j in range(self.quotient_degree):
+                if j != i:
+                    zps_i = gl2.mul(zps_i, zp_at_zeta[j])
+            for e in range(EXT_DEGREE):
+                c = quotient_chunks[i, e]
+                quotient = gl2.add(quotient, gl2.mul(zps_i, gl2.mul(gl2.monomial(e), c)))
+
+        # Lagrange selectors (two_adic.rs:92-122), one batched inversion
+        shift_inv = Gl.inv(self.trace_domain.shift)
+        unshifted = gl2.mul_base(zeta, gl.full((), shift_inv))
+        z_h = gl2.sub(
+            gl2.exp_power_of_2(unshifted, self.trace_domain.log_n), gl2.ones(())
+        )
+        gen_inv = Gl.inv(self.trace_domain.gen())
+        d_first = gl2.sub_base(unshifted, gl.ones(()))
+        d_last = gl2.sub_base(unshifted, gl.full((), gen_inv))
+        invs3 = gl2.inv(gl2.stack([d_first, d_last, z_h]))
+        is_first_row = gl2.mul(z_h, invs3[0])
+        is_last_row = gl2.mul(z_h, invs3[1])
+        inv_zeroifier = invs3[2]
+        is_transition = d_last
+
+        main = _Main(
+            trace_local=[trace_local[i] for i in range(cfg.trace_width)],
+            trace_next=[trace_next[i] for i in range(cfg.trace_width)],
+            quotient_chunks=[
+                [quotient_chunks[c, e] for e in range(EXT_DEGREE)]
+                for c in range(self.quotient_degree)
+            ],
+        )
+        folder = VerifierConstraintFolder(
+            ops=gl2.Ops(()),
+            main=main,
+            is_first_row=is_first_row,
+            is_last_row=is_last_row,
+            is_transition=is_transition,
+            alpha=alpha,
+        )
+        self.air.eval(folder)
+        folded_constraints = folder.accumulator
+        return jnp.all(
+            gl2.eq(gl2.mul(folded_constraints, inv_zeroifier), quotient)
+        )
+
+    # ------------------------------------------------------------------
+    def check_shape(self, proof: Proof) -> bool:
+        """Host-side shape validation (verifier.rs:126-133)."""
+        ov = proof.opened_values
+        return (
+            len(ov.trace_local) == self.air.width()
+            and len(ov.trace_next) == self.air.width()
+            and len(ov.quotient_chunks) == self.quotient_degree
+            and all(len(qc) == EXT_DEGREE for qc in ov.quotient_chunks)
+            and len(proof.opening_proof.fri_proof.query_proofs) == self.Q
+        )
+
+    def verify_witness(self, w: Dict) -> VerifyResult:
+        """Run all stages on packed witness arrays."""
+        ch, pow_ok, index = self._s_transcript(w["obs"])
+
+        def ext(idx_pair) -> GL2:
+            return GL2(ch[idx_pair[0]], ch[idx_pair[1]])
+
+        alpha = ext(self.alpha_idx)
+        zeta = ext(self.zeta_idx)
+        alpha_fri = ext(self.alpha_fri_idx)
+        betas_stack = gl2.stack([ext(ix) for ix in self.beta_idx])
+        zeta_next = gl2.mul_base(zeta, gl.full((), self.trace_domain.gen()))
+
+        trace_commit = w["obs"][self.obs_trace_commit]
+        quotient_commit = w["obs"][self.obs_quotient_commit]
+        merkle_ok = jnp.ones((self.Q,), bool)
+        for b, commit in enumerate([trace_commit, quotient_commit]):
+            merkle_ok &= self._s_batch(
+                index, w["batch_values"][b], w["batch_sibs"][b], commit
+            )
+        merkle_all_ok = jnp.all(merkle_ok)
+
+        ro_stack = self._s_ro(
+            index, zeta, zeta_next, alpha_fri, tuple(w["batch_values"]),
+            w["trace_local"], w["trace_next"], w["quotient_chunks"],
+        )
+
+        phase_commits = w["obs"][self.obs_phase_commits].reshape(self.n_phases, 4)
+        fold_ok = self._s_fold(
+            index, phase_commits, betas_stack, w["fold_sibling_values"],
+            ro_stack, w["fold_sibs"], w["final_poly"],
+        )
+
+        quotient_ok = self._s_final(
+            alpha, zeta, w["trace_local"], w["trace_next"], w["quotient_chunks"]
+        )
+
+        ok = pow_ok & merkle_all_ok & fold_ok & quotient_ok
+        return VerifyResult(
+            ok=ok, pow_ok=pow_ok, merkle_ok=merkle_all_ok, fold_ok=fold_ok,
+            quotient_ok=quotient_ok, shape_ok=True,
+            alpha=alpha, zeta=zeta, query_indices=index,
+        )
+
+    def verify(self, proof: Proof) -> VerifyResult:
+        if not self.check_shape(proof):
+            f = jnp.asarray(False)
+            return VerifyResult(ok=f, pow_ok=f, merkle_ok=f, fold_ok=f,
+                                quotient_ok=f, shape_ok=False)
+        w = pack_witness(proof, self.config)
+        return self.verify_witness(w)
+
+
+_verifier_cache: Dict = {}
+
+
+def get_verifier(air: Air, config: P3Config) -> TpuVerifier:
+    key = (
+        air.name(), air.width(), config.log_quotient_degree,
+        config.log_trace_height, config.trace_width,
+        config.opening_matrix_log_max_height, config.quotient_opened_values_len,
+        config.degree_bits, config.fri_config.log_blowup,
+        config.fri_config.num_queries, config.fri_config.proof_of_work_bits,
+    )
+    v = _verifier_cache.get(key)
+    if v is None:
+        v = TpuVerifier(air, config)
+        _verifier_cache[key] = v
+    return v
+
+
+def verify_proof(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyResult:
+    """One-call API mirroring CircuitBuilder::p3_verify_proof (p3/mod.rs:66-94):
+    config is derived from the proof's own shape."""
+    config = derive_config(proof, fri_config)
+    return get_verifier(air, config).verify(proof)
