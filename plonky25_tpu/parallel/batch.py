@@ -1,0 +1,82 @@
+"""Batched multi-proof verification (BASELINE config 5, single-host part).
+
+Verifies B proofs (same shape config) per device dispatch by vmapping the
+verifier stages over a leading proof axis.  This amortizes dispatch
+overhead - the dominant cost for a single small proof on the TPU tunnel -
+and is the building block for multi-host batch aggregation, where the
+proof axis is sharded over hosts and the verdicts are all-reduced.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..air import Air
+from ..proof import FriConfig, P3Config, Proof, derive_config
+from ..verifier import get_verifier
+from ..witness import pack_witness
+
+
+def stack_witnesses(ws: List[Dict]) -> Dict:
+    """Stack per-proof witness pytrees along a new leading proof axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
+
+
+def tile_witness(w: Dict, b: int) -> Dict:
+    """Tile one witness B times (benchmarking / smoke tests)."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (b,) + x.shape), w
+    )
+
+
+class BatchVerifier:
+    """Verify a batch of same-shape proofs with vmapped stages."""
+
+    def __init__(self, air: Air, config: P3Config):
+        self.base = get_verifier(air, config)
+        v = self.base
+        self._t = jax.jit(jax.vmap(v._transcript_fn))
+        self._b = jax.jit(jax.vmap(v._batch_fn))
+        self._r = jax.jit(jax.vmap(v._ro_fn))
+        self._f = jax.jit(jax.vmap(v._fold_fn))
+        self._fin = jax.jit(jax.vmap(v._final_fn))
+
+    def verify_witnesses(self, ws: Dict):
+        """ws: stacked witness (leading proof axis B).  Returns ok (B,) bool."""
+        t = self._t(ws["obs"])
+        index = t["index"]
+
+        merkle_ok = None
+        for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+            okb = self._b(index, ws["batch_values"][b], ws["batch_sibs"][b], commit)
+            merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
+        merkle_all_ok = jnp.all(merkle_ok, axis=-1)
+
+        ro_stack = self._r(
+            index, t["zeta"], t["zeta_next"], t["alpha_fri"],
+            tuple(ws["batch_values"]),
+            ws["trace_local"], ws["trace_next"], ws["quotient_chunks"],
+        )
+        fold_ok = self._f(
+            index, t["phase_commits"], t["betas_stack"],
+            ws["fold_sibling_values"], ro_stack, ws["fold_sibs"],
+            ws["final_poly"],
+        )
+        quotient_ok = self._fin(
+            t["alpha"], t["zeta"], ws["trace_local"], ws["trace_next"],
+            ws["quotient_chunks"],
+        )
+        return t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
+
+    def verify(self, proofs: List[Proof]):
+        ws = stack_witnesses([pack_witness(p, self.base.config) for p in proofs])
+        return self.verify_witnesses(ws)
+
+
+def verify_proof_batch(proofs: List[Proof], air: Air, fri_config: FriConfig):
+    config = derive_config(proofs[0], fri_config)
+    return BatchVerifier(air, config).verify(proofs)

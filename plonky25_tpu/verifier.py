@@ -165,7 +165,10 @@ class TpuVerifier:
 
     # ---------------------------------------------------------------- stages
     def _transcript_fn(self, obs: GL):
-        """Whole Fiat-Shamir transcript (one scan) + PoW check + indices."""
+        """Whole Fiat-Shamir transcript (one scan) + PoW check + indices +
+        every derived challenge, so no eager glue ops run between stages
+        (each eager op is a host->device dispatch; they dominated latency
+        on the TPU tunnel)."""
         ch = run_transcript(self.schedule, obs)
         fc = self.config.fri_config
         pow_s = ch[self.pow_idx]
@@ -175,11 +178,30 @@ class TpuVerifier:
             pow_ok &= (pow_s.hi & np.uint32((1 << (bits - 32)) - 1)) == 0
         q_samples = ch[jnp.asarray(self.query_idx)]
         index = q_samples.lo & np.uint32((1 << self.log_max_height) - 1)
-        return ch, pow_ok, index
+
+        def ext(ip) -> GL2:
+            return GL2(ch[ip[0]], ch[ip[1]])
+
+        zeta = ext(self.zeta_idx)
+        return {
+            "pow_ok": pow_ok,
+            "index": index,
+            "alpha": ext(self.alpha_idx),
+            "zeta": zeta,
+            "zeta_next": gl2.mul_base(zeta, gl.full((), self.trace_domain.gen())),
+            "alpha_fri": ext(self.alpha_fri_idx),
+            "betas_stack": gl2.stack([ext(ix) for ix in self.beta_idx]),
+            "trace_commit": obs[self.obs_trace_commit],
+            "quotient_commit": obs[self.obs_quotient_commit],
+            "phase_commits": obs[self.obs_phase_commits].reshape(self.n_phases, 4),
+        }
 
     def _batch_fn(self, index, vals: GL, sibs: GL, commit: GL):
-        """Merkle batch opening for one committed batch (verifier.rs:276-294)."""
-        leaf = vals.reshape(self.Q, -1)
+        """Merkle batch opening for one committed batch (verifier.rs:276-294).
+
+        Query count is taken from the inputs (not config) so the sharded
+        path can pad the query axis to a device multiple."""
+        leaf = vals.reshape(vals.shape[0], -1)
         return verify_batch_single(commit, leaf, index, sibs)
 
     def _ro_fn(self, index, zeta: GL2, zeta_next: GL2, alpha_fri: GL2,
@@ -187,7 +209,7 @@ class TpuVerifier:
                quotient_chunks: GL2):
         """Reduced-opening accumulators (verifier.rs:296-344), batched over
         queries with ONE GF(p^2) inversion instance for all quotient terms."""
-        Q = self.Q
+        Q = index.shape[0]
 
         x_of_mat = []
         for m in self.mats:
@@ -249,7 +271,7 @@ class TpuVerifier:
                  final_poly: GL2):
         """FRI fold (verifier.rs:419-519): scan over levels; per level one
         leaf hash + one masked Merkle-path scan + the beta interpolation."""
-        Q = self.Q
+        Q = index.shape[0]
         valid = jnp.asarray(self.fold_valid)
 
         g_logmax = Gl.two_adic_generator(self.log_max_height)
@@ -364,46 +386,38 @@ class TpuVerifier:
 
     def verify_witness(self, w: Dict) -> VerifyResult:
         """Run all stages on packed witness arrays."""
-        ch, pow_ok, index = self._s_transcript(w["obs"])
+        t = self._s_transcript(w["obs"])
+        index = t["index"]
 
-        def ext(idx_pair) -> GL2:
-            return GL2(ch[idx_pair[0]], ch[idx_pair[1]])
-
-        alpha = ext(self.alpha_idx)
-        zeta = ext(self.zeta_idx)
-        alpha_fri = ext(self.alpha_fri_idx)
-        betas_stack = gl2.stack([ext(ix) for ix in self.beta_idx])
-        zeta_next = gl2.mul_base(zeta, gl.full((), self.trace_domain.gen()))
-
-        trace_commit = w["obs"][self.obs_trace_commit]
-        quotient_commit = w["obs"][self.obs_quotient_commit]
-        merkle_ok = jnp.ones((self.Q,), bool)
-        for b, commit in enumerate([trace_commit, quotient_commit]):
-            merkle_ok &= self._s_batch(
+        merkle_ok = None
+        for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+            okb = self._s_batch(
                 index, w["batch_values"][b], w["batch_sibs"][b], commit
             )
+            merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
         merkle_all_ok = jnp.all(merkle_ok)
 
         ro_stack = self._s_ro(
-            index, zeta, zeta_next, alpha_fri, tuple(w["batch_values"]),
+            index, t["zeta"], t["zeta_next"], t["alpha_fri"],
+            tuple(w["batch_values"]),
             w["trace_local"], w["trace_next"], w["quotient_chunks"],
         )
 
-        phase_commits = w["obs"][self.obs_phase_commits].reshape(self.n_phases, 4)
         fold_ok = self._s_fold(
-            index, phase_commits, betas_stack, w["fold_sibling_values"],
-            ro_stack, w["fold_sibs"], w["final_poly"],
+            index, t["phase_commits"], t["betas_stack"],
+            w["fold_sibling_values"], ro_stack, w["fold_sibs"], w["final_poly"],
         )
 
         quotient_ok = self._s_final(
-            alpha, zeta, w["trace_local"], w["trace_next"], w["quotient_chunks"]
+            t["alpha"], t["zeta"], w["trace_local"], w["trace_next"],
+            w["quotient_chunks"]
         )
 
-        ok = pow_ok & merkle_all_ok & fold_ok & quotient_ok
+        ok = t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
         return VerifyResult(
-            ok=ok, pow_ok=pow_ok, merkle_ok=merkle_all_ok, fold_ok=fold_ok,
+            ok=ok, pow_ok=t["pow_ok"], merkle_ok=merkle_all_ok, fold_ok=fold_ok,
             quotient_ok=quotient_ok, shape_ok=True,
-            alpha=alpha, zeta=zeta, query_indices=index,
+            alpha=t["alpha"], zeta=t["zeta"], query_indices=index,
         )
 
     def verify(self, proof: Proof) -> VerifyResult:
