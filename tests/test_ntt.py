@@ -1,0 +1,133 @@
+"""NTT / coset LDE / barycentric kernels vs naive int-oracle polynomial math
+(BASELINE config 2)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plonky25_tpu.constants import GOLDILOCKS_P as P
+from plonky25_tpu.fields import gl
+from plonky25_tpu.ops import ntt as nttmod
+from plonky25_tpu.refimpl.field import Gl
+
+
+def naive_dft(vec, inverse=False):
+    n = len(vec)
+    import math
+
+    log_n = n.bit_length() - 1
+    w = Gl.two_adic_generator(log_n)
+    if inverse:
+        w = Gl.inv(w)
+    out = [sum(vec[i] * pow(w, i * k, P) for i in range(n)) % P for k in range(n)]
+    if inverse:
+        n_inv = Gl.inv(n)
+        out = [v * n_inv % P for v in out]
+    return out
+
+
+def poly_eval(coeffs, x):
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % P
+    return acc
+
+
+@pytest.mark.parametrize("log_n", [1, 2, 4, 6])
+def test_ntt_matches_naive_dft(log_n):
+    rng = random.Random(log_n)
+    vec = [rng.randrange(P) for _ in range(1 << log_n)]
+    got = list(gl.to_u64(nttmod.ntt(gl.from_u64(vec))))
+    assert got == naive_dft(vec)
+
+
+def test_intt_roundtrip():
+    rng = random.Random(7)
+    vec = [rng.randrange(P) for _ in range(1 << 10)]
+    x = gl.from_u64(vec)
+    back = nttmod.intt(nttmod.ntt(x))
+    assert list(gl.to_u64(back)) == vec
+
+
+def test_ntt_batched():
+    rng = random.Random(8)
+    vecs = [[rng.randrange(P) for _ in range(16)] for _ in range(5)]
+    got = gl.to_u64(nttmod.ntt(gl.from_u64(vecs)))
+    for i, v in enumerate(vecs):
+        assert list(got[i]) == naive_dft(v)
+
+
+def test_coset_ntt_is_poly_eval_on_coset():
+    rng = random.Random(9)
+    log_n = 5
+    n = 1 << log_n
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    shift = 7
+    got = list(gl.to_u64(nttmod.coset_ntt(gl.from_u64(coeffs), shift)))
+    g = Gl.two_adic_generator(log_n)
+    want = [poly_eval(coeffs, shift * pow(g, k, P) % P) for k in range(n)]
+    assert got == want
+
+
+def test_coset_lde_extends_trace():
+    """LDE of evals on <g_N> must evaluate the same poly on 7*<g_2N>
+    (the reference's disjoint quotient domain, two_adic.rs:61-71)."""
+    rng = random.Random(10)
+    log_n = 4
+    n = 1 << log_n
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    g = Gl.two_adic_generator(log_n)
+    evals = [poly_eval(coeffs, pow(g, k, P)) for k in range(n)]
+    got = list(gl.to_u64(nttmod.coset_lde(gl.from_u64(evals), 1, 7)))
+    g2 = Gl.two_adic_generator(log_n + 1)
+    want = [poly_eval(coeffs, 7 * pow(g2, k, P) % P) for k in range(2 * n)]
+    assert got == want
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_four_step_matches_ntt(inverse):
+    rng = random.Random(11)
+    A, B = 8, 16
+    vec = [rng.randrange(P) for _ in range(A * B)]
+    x = gl.from_u64(vec).reshape(A, B)
+    m = nttmod.ntt_four_step(x, inverse=inverse)
+    flat = nttmod.four_step_output(m)
+    want = nttmod.ntt(gl.from_u64(vec), inverse=inverse)
+    assert list(gl.to_u64(flat)) == list(gl.to_u64(want))
+
+
+def test_four_step_sharded_matches():
+    """Four-step with the row axis sharded over the 8-device mesh: the
+    row-NTT stage forces the all-to-all; result must be identical."""
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+    from plonky25_tpu.parallel import make_mesh
+
+    rng = random.Random(12)
+    A, B = 8, 64
+    vec = [rng.randrange(P) for _ in range(A * B)]
+    x = gl.from_u64(vec).reshape(A, B)
+    mesh = make_mesh(8)
+    xs = jax.device_put(x, NamedSharding(mesh, Pspec("q", None)))
+    m = jax.jit(nttmod.ntt_four_step)(xs)
+    flat = nttmod.four_step_output(m)
+    want = nttmod.ntt(gl.from_u64(vec))
+    assert list(gl.to_u64(flat)) == list(gl.to_u64(want))
+
+
+def test_barycentric_eval():
+    rng = random.Random(13)
+    log_n = 5
+    n = 1 << log_n
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    shift = 7
+    g = Gl.two_adic_generator(log_n)
+    evals = [poly_eval(coeffs, shift * pow(g, k, P) % P) for k in range(n)]
+    zs = [rng.randrange(P) for _ in range(4)]
+    got = gl.to_u64(
+        nttmod.barycentric_eval(gl.from_u64(evals), shift, gl.from_u64(zs))
+    )
+    want = [poly_eval(coeffs, z) for z in zs]
+    assert list(got) == want
