@@ -7,8 +7,20 @@ Columns (a, b, c) with constraints
 """
 
 from ..air import Air, VerifierConstraintFolder
+from ..constants import GOLDILOCKS_P as P
 
 NUM_FIBONACCI_COLS = 3
+
+
+def fibonacci_trace(height: int):
+    """Row-major fib trace: (a, b, c) with c = a+b, a' = b, b' = c."""
+    rows = []
+    a, b = 1, 1
+    for _ in range(height):
+        c = (a + b) % P
+        rows.append([a, b, c])
+        a, b = b, c
+    return rows
 
 
 class FibonacciAir(Air):
