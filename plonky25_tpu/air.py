@@ -55,6 +55,11 @@ class VerifierConstraintFolder:
 
     # -- assertions (air.rs:63-91) ----------------------------------------
     def assert_zero(self, x):
+        """Record a constraint.  `x` may be a single value or a VECTOR of
+        constraints (leading axes beyond the evaluation-point shape fold as
+        consecutive constraints in index order) — wide AIRs like Keccak
+        must express their thousands of constraints as array ops, not
+        unrolled scalars."""
         self._constraints.append(x)
 
     def assert_eq(self, x, y):

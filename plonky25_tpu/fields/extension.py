@@ -165,10 +165,19 @@ def stack(elems, axis=0):
 
 class Ops:
     """GF(p^2) ops adapter for the backend-agnostic AIR folder
-    (plonky25_tpu.air.VerifierConstraintFolder)."""
+    (plonky25_tpu.air.VerifierConstraintFolder).
+
+    `shape` is the evaluation-point shape: () when folding at a single
+    zeta (verifier), (n_points,) when the prover folds over a domain.
+    Constraint values may carry extra LEADING axes - vector constraints
+    from wide AIRs - which fold as consecutive constraints in index order."""
 
     def __init__(self, shape=()):
         self._shape = shape
+
+    @property
+    def point_ndim(self):
+        return len(self._shape)
 
     def add(self, x, y):
         return add(x, y)
@@ -190,14 +199,47 @@ class Ops:
             return from_base(b)
         return GL2(gl.full(self._shape, int(b)), gl.zeros(self._shape))
 
+    # ---- vector helpers (constraint axis = axis 0) -----------------------
+    @staticmethod
+    def stack(vals):
+        return stack(vals)
+
+    @staticmethod
+    def take(vec: GL2, idx):
+        import numpy as _np
+
+        return vec[_np.asarray(idx)]
+
+    def const_base(self, ints):
+        c0 = gl.from_u64(list(ints))
+        c0 = GL(
+            c0.lo.reshape(c0.lo.shape + (1,) * self.point_ndim),
+            c0.hi.reshape(c0.hi.shape + (1,) * self.point_ndim),
+        )
+        return GL2(c0, gl.zeros(c0.lo.shape))
+
     def fold_constraints(self, alpha: GL2, constraints) -> GL2:
-        """acc = acc*alpha + c_i over the list, as ONE lax.scan body —
-        long dependent mul chains at trace level blow up XLA compile time."""
+        """acc = acc*alpha + c_i over the flattened constraint sequence, as
+        ONE lax.scan body — long dependent mul chains at trace level blow up
+        XLA compile time."""
         import jax
 
         if not constraints:
             return self.zero()
-        stacked = stack(constraints)
+        import jax as _jax
+
+        pnd = self.point_ndim
+
+        def norm(c: GL2) -> GL2:
+            def fix(a):
+                nd_extra = max(a.ndim - pnd, 0)
+                lead = tuple(a.shape[:nd_extra]) if nd_extra else (1,)
+                a = jnp.broadcast_to(a, lead + self._shape)
+                return a.reshape((-1,) + self._shape)
+            return _jax.tree.map(fix, c)
+
+        rows = [norm(c) for c in constraints]
+        stacked = _jax.tree.map(lambda *xs: jnp.concatenate(xs), *rows)
 
         def body(acc, c):
             return add(mul(acc, alpha), c), None

@@ -22,18 +22,41 @@ def hash_rows(rows: GL) -> GL:
 
     rows: GL (..., L).  Returns GL (..., DIGEST_ELEMS).  Chunks of RATE
     overwrite the state prefix, permuting after each chunk (the final
-    partial chunk included)."""
+    partial chunk included).  Wide rows (Keccak's 2633 columns => 659
+    chunks) scan over chunks so the graph holds one permutation body."""
     batch = rows.shape[:-1]
     L = rows.shape[-1]
+    n_chunks = -(-L // RATE)
     state = gl.zeros((*batch, WIDTH))
-    for off in range(0, L, RATE):
-        k = min(RATE, L - off)
-        chunk = rows[..., off:off + k]
-        state = GL(
-            jnp.concatenate([chunk.lo, state.lo[..., k:]], axis=-1),
-            jnp.concatenate([chunk.hi, state.hi[..., k:]], axis=-1),
-        )
-        state = poseidon2_permute(state)
+
+    if n_chunks <= 4:
+        for off in range(0, L, RATE):
+            k = min(RATE, L - off)
+            chunk = rows[..., off:off + k]
+            state = GL(
+                jnp.concatenate([chunk.lo, state.lo[..., k:]], axis=-1),
+                jnp.concatenate([chunk.hi, state.hi[..., k:]], axis=-1),
+            )
+            state = poseidon2_permute(state)
+        return state[..., :DIGEST_ELEMS]
+
+    pad = n_chunks * RATE - L
+    if pad:
+        z = gl.zeros((*batch, pad))
+        rows = gl.concatenate([rows, z], axis=-1)
+    # (n_chunks, ..., RATE) scan inputs + static per-lane validity mask
+    ch_lo = jnp.moveaxis(rows.lo.reshape(*batch, n_chunks, RATE), -2, 0)
+    ch_hi = jnp.moveaxis(rows.hi.reshape(*batch, n_chunks, RATE), -2, 0)
+    mask = (jnp.arange(n_chunks * RATE).reshape(n_chunks, RATE) <
+            jnp.int32(L))  # (n_chunks, RATE)
+
+    def body(st, xs):
+        clo, chi_, m = xs
+        head = gl.select(m, GL(clo, chi_), st[..., :RATE])
+        st = gl.concatenate([head, st[..., RATE:]], axis=-1)
+        return poseidon2_permute(st), None
+
+    state, _ = jax.lax.scan(body, state, (ch_lo, ch_hi, mask))
     return state[..., :DIGEST_ELEMS]
 
 

@@ -139,21 +139,45 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         for i in range(q_size)
     ]
 
-    quotient_evals = []
-    for i in range(q_size):
-        folder = VerifierConstraintFolder(
-            ops=_Gl2Ops,
-            main=_MainRow(
-                [(local_cols[c][i], 0) for c in range(width)],
-                [(next_cols[c][i], 0) for c in range(width)],
-            ),
-            is_first_row=sels[i].is_first_row,
-            is_last_row=sels[i].is_last_row,
-            is_transition=sels[i].is_transition,
-            alpha=alpha,
-        )
-        air.eval(folder)
-        quotient_evals.append(Gl2.mul(folder.accumulator, sels[i].inv_zeroifier))
+    # vectorized constraint evaluation over the whole quotient domain:
+    # point axis = trailing axis of numpy OBJECT arrays (IntExtOps works
+    # elementwise on them), one AIR eval instead of q_size
+    import numpy as _np
+
+    from .verifier import IntExtOps
+
+    def _vec(vals):  # list of ints -> ext over points
+        return (_np.asarray(vals, dtype=object), _np.asarray([0] * len(vals), dtype=object))
+
+    main = _MainRow(
+        [_vec(local_cols[c]) for c in range(width)],
+        [_vec(next_cols[c]) for c in range(width)],
+    )
+    main.local_vec = (
+        _np.asarray(local_cols, dtype=object),
+        _np.zeros((width, q_size), dtype=object),
+    )
+    main.next_vec = (
+        _np.asarray(next_cols, dtype=object),
+        _np.zeros((width, q_size), dtype=object),
+    )
+    folder = VerifierConstraintFolder(
+        ops=IntExtOps(point_ndim=1),
+        main=main,
+        is_first_row=(_np.asarray([s.is_first_row[0] for s in sels], dtype=object),
+                      _np.asarray([s.is_first_row[1] for s in sels], dtype=object)),
+        is_last_row=(_np.asarray([s.is_last_row[0] for s in sels], dtype=object),
+                     _np.asarray([s.is_last_row[1] for s in sels], dtype=object)),
+        is_transition=(_np.asarray([s.is_transition[0] for s in sels], dtype=object),
+                       _np.asarray([s.is_transition[1] for s in sels], dtype=object)),
+        alpha=alpha,
+    )
+    air.eval(folder)
+    acc0, acc1 = folder.accumulator
+    quotient_evals = [
+        Gl2.mul((int(acc0[i]), int(acc1[i])), sels[i].inv_zeroifier)
+        for i in range(q_size)
+    ]
 
     # split into chunks: chunk c takes points with index = c (mod num_chunks)?
     # split_domains (two_adic.rs:73-90): chunk i is the coset
@@ -292,7 +316,9 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
                 opening_proof=trace_tree.open(idx),
             ),
             BatchOpening(
-                opened_values=[list(q_rows[idx])],
+                # one row per chunk matrix (serde/proof.rs BatchOpening)
+                opened_values=[list(chunk_ldes[ci][idx])
+                               for ci in range(quotient_degree)],
                 opening_proof=quotient_tree.open(idx),
             ),
         ]

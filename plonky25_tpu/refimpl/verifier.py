@@ -23,8 +23,19 @@ from .domains import TwoAdicMultiplicativeCoset
 from .field import Gl, Gl2
 
 
-class _Gl2Ops:
-    """GF(p^2) ops adapter handed to the AIR folder."""
+class IntExtOps:
+    """GF(p^2) ops adapter handed to the AIR folder (plain-int backend).
+
+    Values are (c0, c1) pairs whose components are python ints or numpy
+    OBJECT arrays of python ints - Gl2's formulas are plain +,*,% so they
+    work elementwise on object arrays, which is how wide AIRs (Keccak)
+    evaluate thousands of constraints without python-level per-bit loops.
+
+    point_ndim: trailing axes that index evaluation points (0 when folding
+    at a single zeta, 1 when the prover folds over a whole domain)."""
+
+    def __init__(self, point_ndim: int = 0):
+        self.point_ndim = point_ndim
 
     @staticmethod
     def add(x, y):
@@ -49,6 +60,54 @@ class _Gl2Ops:
     @staticmethod
     def from_base(b):
         return Gl2.from_base(b)
+
+    # ---- vector helpers (constraint axis = axis 0) ----------------------
+    @staticmethod
+    def stack(vals):
+        import numpy as _np
+
+        c0 = _np.asarray([v[0] for v in vals], dtype=object)
+        c1 = _np.asarray([v[1] for v in vals], dtype=object)
+        return (c0, c1)
+
+    @staticmethod
+    def take(vec, idx):
+        import numpy as _np
+
+        idx = _np.asarray(idx)
+        return (vec[0][idx], vec[1][idx])
+
+    def const_base(self, ints):
+        import numpy as _np
+
+        from ..constants import GOLDILOCKS_P as _P
+
+        c0 = _np.asarray([int(v) % _P for v in ints], dtype=object)
+        c0 = c0.reshape(c0.shape + (1,) * self.point_ndim)
+        return (c0, c0 * 0)
+
+    def fold_constraints(self, alpha, constraints):
+        """acc = acc*alpha + c, flattening vector constraints in order."""
+        import numpy as _np
+
+        acc = Gl2.ZERO
+        for c in constraints:
+            nd = _np.ndim(c[0])
+            if nd <= self.point_ndim:
+                acc = Gl2.add(Gl2.mul(acc, alpha), c)
+            else:
+                # leading constraint axes: fold rows in index order
+                c0 = c[0].reshape((-1,) + c[0].shape[nd - self.point_ndim:]) \
+                    if self.point_ndim else c[0].reshape(-1)
+                c1 = c[1].reshape((-1,) + c[1].shape[nd - self.point_ndim:]) \
+                    if self.point_ndim else c[1].reshape(-1)
+                for i in range(len(c0)):
+                    acc = Gl2.add(Gl2.mul(acc, alpha), (c0[i], c1[i]))
+        return acc
+
+
+# back-compat alias (used by the prover and older call sites)
+_Gl2Ops = IntExtOps()
 
 
 @dataclass

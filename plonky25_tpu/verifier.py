@@ -208,26 +208,32 @@ class TpuVerifier:
                batch_values, trace_local: GL2, trace_next: GL2,
                quotient_chunks: GL2):
         """Reduced-opening accumulators (verifier.rs:296-344), batched over
-        queries with ONE GF(p^2) inversion instance for all quotient terms."""
-        Q = index.shape[0]
+        queries.
 
-        x_of_mat = []
+        Terms are processed in GROUPS sharing (point z, log_height) - for
+        the single-trace proof family: (trace, zeta), (trace, zeta*g),
+        (quotient chunks, zeta).  Within a group every term shares the same
+        denominator (x - z), so the group reduces to
+            inv(x - z) * sum_c alpha^(k0+c) * (p_c(x) - p_c(z))
+        with ONE vectorized multiply + tree-sum over the column axis and
+        ONE batched inversion for all groups - identical field math to the
+        reference's per-term loop (verifier.rs:313-338), reassociated."""
+        Q = index.shape[0]
+        cfg = self.config
+        w = cfg.trace_width
+        D = EXT_DEGREE
+        nchunks = self.quotient_degree
+
+        # x per distinct log_height (verifier.rs:306-311)
+        x_of_h = {}
         for m in self.mats:
             h = m["log_height"]
+            if h in x_of_h:
+                continue
             g_h = Gl.two_adic_generator(h)
             idx_sh = index >> np.uint32(self.log_max_height - h)
             rev = reverse_bits_len_u32(idx_sh, h)
-            x_of_mat.append(gl.mul(gl.full((Q,), 7), gl.pow_u32(g_h, rev, h)))
-
-        z_of = {"zeta": zeta, "zeta_next": zeta_next}
-
-        def pz_value(ref) -> GL2:
-            kind = ref[0]
-            if kind == "trace_local":
-                return trace_local[ref[1]]
-            if kind == "trace_next":
-                return trace_next[ref[1]]
-            return quotient_chunks[ref[1], ref[2]]
+            x_of_h[h] = gl.mul(gl.full((Q,), 7), gl.pow_u32(g_h, rev, h))
 
         # alpha_fri powers (scan: one ext-mul body)
         def _pow_body(acc, _):
@@ -237,27 +243,57 @@ class TpuVerifier:
             _pow_body, gl2.ones(()), None, length=self.max_alpha_pow
         )
 
-        num_rows, den_rows, coef_rows = [], [], []
-        for t in self.terms:
-            x = x_of_mat[t["mat"]]
-            z = z_of[t["z"]]
-            pz = pz_value(t["pz"])
-            mat = self.mats[t["mat"]]
-            p_at_x = batch_values[mat["batch"]][:, mat["row"], t["col"]]
-            # (-p_at_z + p_at_x) / (-z + x)   (verifier.rs:313-321)
-            num_rows.append(gl2.add_base(gl2.broadcast_to(gl2.neg(pz), (Q,)), p_at_x))
-            den_rows.append(gl2.add_base(gl2.broadcast_to(gl2.neg(z), (Q,)), x))
-            coef_rows.append(gl2.broadcast_to(pow_stack[t["k"]], (Q,)))
+        h_trace = self.mats[0]["log_height"]
+        h_quot = self.mats[1]["log_height"] if len(self.mats) > 1 else h_trace
+        qc_flat = quotient_chunks.c0  # for shape only
+        groups = [
+            # (p_at_x (Q,C), p_at_z (C,), z, height, k0)
+            (batch_values[0][:, 0, :], trace_local, zeta, h_trace, 0),
+            (batch_values[0][:, 0, :], trace_next, zeta_next, h_trace, w),
+            (
+                batch_values[1].reshape(Q, nchunks * D),
+                GL2(quotient_chunks.c0.reshape(nchunks * D),
+                    quotient_chunks.c1.reshape(nchunks * D)),
+                zeta,
+                h_quot,
+                (2 * w if h_quot == h_trace else 0),
+            ),
+        ]
 
-        nums = gl2.stack(num_rows)      # (T, Q)
-        dens = gl2.stack(den_rows)
-        coefs = gl2.stack(coef_rows)
-        contribs = gl2.mul(coefs, gl2.mul(nums, gl2.inv(dens)))
+        def _tree_sum(v: GL2) -> GL2:
+            # sum over last axis (pad to a power of two with zeros)
+            n = v.c0.lo.shape[-1]
+            m = 1 << (n - 1).bit_length()
+            if m != n:
+                z = gl2.zeros(v.c0.lo.shape[:-1] + (m - n,))
+                v = GL2(
+                    gl.concatenate([v.c0, z.c0], axis=-1),
+                    gl.concatenate([v.c1, z.c1], axis=-1),
+                )
+            while v.c0.lo.shape[-1] > 1:
+                half = v.c0.lo.shape[-1] // 2
+                v = gl2.add(v[..., :half], v[..., half:])
+            return GL2(v.c0[..., 0], v.c1[..., 0])
+
+        sums, dens, heights = [], [], []
+        for p_at_x, p_at_z, z, h, k0 in groups:
+            C = p_at_x.shape[-1]
+            # (-p_at_z + p_at_x): ext (C,) broadcast against base (Q, C)
+            num = gl2.add_base(
+                gl2.broadcast_to(gl2.neg(p_at_z), (Q, C)), p_at_x
+            )
+            coef = pow_stack[k0:k0 + C]              # (C,) ext
+            weighted = gl2.mul(gl2.broadcast_to(coef, (Q, C)), num)
+            sums.append(_tree_sum(weighted))          # (Q,)
+            dens.append(gl2.add_base(gl2.broadcast_to(gl2.neg(z), (Q,)),
+                                     x_of_h[h]))
+            heights.append(h)
+
+        inv_dens = gl2.inv(gl2.stack(dens))           # (G, Q), one instance
 
         ro_by_height: Dict[int, GL2] = {}
-        for i, t in enumerate(self.terms):
-            h = t["h"]
-            c = contribs[i]
+        for gi, h in enumerate(heights):
+            c = gl2.mul(sums[gi], inv_dens[gi])
             ro_by_height[h] = c if h not in ro_by_height else gl2.add(ro_by_height[h], c)
 
         ro_levels = []
@@ -358,6 +394,8 @@ class TpuVerifier:
                 for c in range(self.quotient_degree)
             ],
         )
+        main.local_vec = trace_local    # stacked GL2 (width,) for wide AIRs
+        main.next_vec = trace_next
         folder = VerifierConstraintFolder(
             ops=gl2.Ops(()),
             main=main,

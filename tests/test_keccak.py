@@ -1,0 +1,89 @@
+"""Keccak: kernel KATs + Keccak-AIR prove/verify E2E (BASELINE config 4)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from plonky25_tpu.models.keccak_air import (
+    KeccakAir,
+    NUM_KECCAK_COLS,
+    OFF_APP,
+    OFF_APPP00_LIMBS,
+    keccak_trace,
+)
+from plonky25_tpu.ops.keccak import from_u64, keccak_f_jit, to_u64
+from plonky25_tpu.proof import FriConfig
+from plonky25_tpu.refimpl.keccak import keccak_f_flat
+
+FC = FriConfig(log_blowup=1, num_queries=20, proof_of_work_bits=8)
+
+
+def test_keccak_f_zero_kat():
+    out = keccak_f_flat([0] * 25)
+    assert out[0] == 0xF1258F7940E1DDE7
+    assert out[1] == 0x84D5CCF933C0478A
+    assert out[24] == 0xEAF1FF7B5CECA249
+
+
+def test_keccak_f_jax_matches_oracle():
+    rng = random.Random(5)
+    states = [[rng.getrandbits(64) for _ in range(25)] for _ in range(8)]
+    states[0] = [0] * 25
+    out = to_u64(keccak_f_jit(from_u64(states)))
+    for i, s in enumerate(states):
+        assert list(out[i]) == keccak_f_flat(s)
+
+
+def test_trace_shape_and_output():
+    rng = random.Random(6)
+    inp = [rng.getrandbits(64) for _ in range(25)]
+    rows = keccak_trace([inp])
+    assert len(rows) == 32 and len(rows[0]) == NUM_KECCAK_COLS
+    want = keccak_f_flat(inp)
+    r23 = rows[23]
+    out00 = sum(r23[OFF_APPP00_LIMBS + l] << (16 * l) for l in range(4))
+    assert out00 == want[0]
+    out10 = sum(r23[OFF_APP + 4 + l] << (16 * l) for l in range(4))
+    assert out10 == want[1]
+
+
+@pytest.fixture(scope="module")
+def keccak_proof():
+    from plonky25_tpu.refimpl.prover import prove
+
+    rng = random.Random(21)
+    inp = [rng.getrandbits(64) for _ in range(25)]
+    rows = keccak_trace([inp])
+    return prove(KeccakAir(), rows, FC)
+
+
+def test_keccak_proof_shape(keccak_proof):
+    # degree 3 constraints -> 2 quotient chunks
+    assert len(keccak_proof.opened_values.quotient_chunks) == 2
+    assert len(keccak_proof.opened_values.trace_local) == NUM_KECCAK_COLS
+
+
+def test_keccak_refimpl_verify(keccak_proof):
+    from plonky25_tpu.refimpl.verifier import verify
+
+    tr = verify(keccak_proof, KeccakAir(), FC)
+    assert tr.ok
+
+
+def test_keccak_jax_verify(keccak_proof):
+    from plonky25_tpu.verifier import verify_proof
+
+    r = verify_proof(keccak_proof, KeccakAir(), FC)
+    assert bool(np.asarray(r.ok))
+
+
+def test_keccak_tampered_rejected(keccak_proof):
+    import copy
+
+    from plonky25_tpu.refimpl.verifier import verify
+
+    p = copy.deepcopy(keccak_proof)
+    v = p.opened_values.trace_local[865 + 77]  # an a_prime bit column at zeta
+    p.opened_values.trace_local[865 + 77] = ((v[0] + 1) % (2**64 - 2**32 + 1), v[1])
+    assert not verify(p, KeccakAir(), FC).ok
