@@ -1,0 +1,62 @@
+"""Device-side MMCS Merkle tree construction and opening (prover side).
+
+The reference only VERIFIES Merkle paths (src/p3/commit.rs); building the
+trees is the prover-side counterpart: batched leaf hashing (hash_rows) and
+per-level 2-to-1 compression, all on device.  Levels have halving shapes,
+so each level is an eagerly-dispatched jitted kernel (jit caches one
+executable per shape; trees of one height compile once).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import gl
+from ..fields.goldilocks import GL
+from .sponge import compress, hash_rows
+
+_hash_rows_j = jax.jit(hash_rows)
+_compress_j = jax.jit(compress)
+
+
+class DeviceMerkleTree:
+    """Poseidon2 MMCS tree over the rows of a base-field matrix on device.
+
+    rows: GL (N, L), N a power of two.  Levels stored as GL (n, 4)."""
+
+    def __init__(self, rows: GL):
+        n = rows.shape[0]
+        assert n & (n - 1) == 0
+        digests = _hash_rows_j(rows)
+        self.levels: List[GL] = [digests]
+        while self.levels[-1].shape[0] > 1:
+            prev = self.levels[-1]
+            left = prev[0::2]
+            right = prev[1::2]
+            self.levels.append(_compress_j(left, right))
+
+    @property
+    def root(self) -> GL:
+        return self.levels[-1][0]
+
+    def root_host(self) -> list:
+        return [int(v) for v in gl.to_u64(self.root)]
+
+    def open_paths(self, indices) -> GL:
+        """Sibling digests for a batch of leaf indices.
+
+        indices: (Q,) uint32 -> GL (Q, depth, 4), level t sibling =
+        levels[t][(idx >> t) ^ 1]."""
+        idx = jnp.asarray(indices, jnp.uint32)
+        sibs = []
+        for t in range(len(self.levels) - 1):
+            lvl = self.levels[t]
+            sibs.append(lvl[(idx >> t) ^ 1])  # (Q, 4)
+        return GL(
+            jnp.stack([s.lo for s in sibs], axis=1),
+            jnp.stack([s.hi for s in sibs], axis=1),
+        )

@@ -200,3 +200,49 @@ def barycentric_eval(evals: GL, shift: int, z: GL) -> GL:
         gl.full((), Gl.inv(n % P * s_n % P)),
     )
     return gl.mul(front, total)
+
+
+def coset_intt(evals: GL, shift: int) -> GL:
+    """Coefficients of the poly whose evals on shift*<g_N> are given
+    (batched over leading dims)."""
+    n = evals.shape[-1]
+    coeffs = intt(evals)
+    s_inv = Gl.inv(shift)
+    pw = [1] * n
+    for i in range(1, n):
+        pw[i] = pw[i - 1] * s_inv % P
+    return gl.mul(gl.from_u64(pw), coeffs)
+
+
+def barycentric_eval_ext(evals: GL, shift: int, z):
+    """Evaluate base-coefficient polys at an EXT point z from their evals
+    on shift*<g_N> (prover-side opened values at zeta / zeta*g).
+
+    evals: GL (..., N) - typically (n_polys, N), all evaluated at the same
+    scalar GL2 z.  Returns GL2 (...,).  One batched ext inversion."""
+    from ..fields import gl2 as _gl2
+
+    n = evals.shape[-1]
+    log_n = log2_strict(n)
+    g = Gl.two_adic_generator(log_n)
+    xs_host = [shift % P]
+    for _ in range(1, n):
+        xs_host.append(xs_host[-1] * g % P)
+    xs = gl.from_u64(xs_host)                              # (N,)
+    dens = _gl2.sub_base(_gl2.broadcast_to(z, (n,)), xs)   # (N,) ext
+    inv_dens = _gl2.inv(dens)
+    weights = gl.mul(evals, xs)                            # (..., N)
+    terms = _gl2.mul_base(
+        _gl2.broadcast_to(inv_dens, evals.shape[:-1] + (n,)), weights
+    )
+    while terms.c0.lo.shape[-1] > 1:
+        half = terms.c0.lo.shape[-1] // 2
+        terms = _gl2.add(terms[..., :half], terms[..., half:])
+    total = _gl2.GL2(terms.c0[..., 0], terms.c1[..., 0])
+    s_n = pow(shift, n, P)
+    z_n = _gl2.exp_power_of_2(z, log_n)
+    front = _gl2.mul_base(
+        _gl2.sub_base(z_n, gl.full((), s_n)),
+        gl.full((), Gl.inv(n % P * s_n % P)),
+    )
+    return _gl2.mul(_gl2.broadcast_to(front, total.shape), total)

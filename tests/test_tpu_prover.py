@@ -1,0 +1,42 @@
+"""Device (JAX) prover: bit-identical to the reference prover / artifact."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from plonky25_tpu.models.fibonacci import FibonacciAir, fibonacci_trace
+from plonky25_tpu.proof import FriConfig
+from plonky25_tpu.prover import prove_on_device
+
+FC = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+
+
+def _deep_eq(a, b, path=""):
+    if dataclasses.is_dataclass(a):
+        for f in dataclasses.fields(a):
+            _deep_eq(getattr(a, f.name), getattr(b, f.name), path + "." + f.name)
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b), (path, len(a), len(b))
+        for i, (x, y) in enumerate(zip(a, b)):
+            _deep_eq(x, y, f"{path}[{i}]")
+    else:
+        assert a == b, (path, a, b)
+
+
+def test_device_prover_reproduces_artifact(golden_proof):
+    proof = prove_on_device(FibonacciAir(), fibonacci_trace(64), FC)
+    _deep_eq(proof, golden_proof)
+
+
+def test_device_prover_other_shape_roundtrip():
+    fc = FriConfig(log_blowup=1, num_queries=16, proof_of_work_bits=4)
+    proof = prove_on_device(FibonacciAir(), fibonacci_trace(128), fc)
+    assert proof.degree_bits == 7
+
+    from plonky25_tpu.refimpl.verifier import verify
+    assert verify(proof, FibonacciAir(), fc).ok
+
+    from plonky25_tpu.verifier import verify_proof
+    r = verify_proof(proof, FibonacciAir(), fc)
+    assert bool(np.asarray(r.ok))
