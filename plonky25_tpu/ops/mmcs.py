@@ -17,10 +17,14 @@ import numpy as np
 
 from ..fields import gl
 from ..fields.goldilocks import GL
+from .poseidon2 import poseidon2_permute_auto
 from .sponge import compress, hash_rows
 
-_hash_rows_j = jax.jit(hash_rows)
-_compress_j = jax.jit(compress)
+# Prover-side hashing is the one place batches get big (N leaf rows, N/2^t
+# compressions per level), so route through the backend-aware dispatcher:
+# fused Pallas kernel on TPU, scan-based jnp path on CPU.
+_hash_rows_j = jax.jit(lambda rows: hash_rows(rows, poseidon2_permute_auto))
+_compress_j = jax.jit(lambda l, r: compress(l, r, poseidon2_permute_auto))
 
 
 class DeviceMerkleTree:

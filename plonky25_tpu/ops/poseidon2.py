@@ -142,3 +142,22 @@ def poseidon2_permute(state: GL) -> GL:
 
 # Back-compat alias (poseidon2_permute is itself jitted).
 poseidon2_permute_jit = poseidon2_permute
+
+
+def poseidon2_permute_auto(state: GL) -> GL:
+    """Backend-aware dispatch: the fused Pallas kernel on TPU for real
+    batches, the scan-based jnp path otherwise (CPU tests, tiny batches,
+    or P25_DISABLE_PALLAS=1).
+
+    Used by batch-hash call sites with concrete (non-vmapped) shapes — the
+    prover's Merkle tree construction is the main one."""
+    import os
+
+    b = 1
+    for d in state.shape[:-1]:
+        b *= int(d)
+    if (not os.environ.get("P25_DISABLE_PALLAS")
+            and b >= 128 and jax.default_backend() == "tpu"):
+        from .pallas import poseidon2_permute_pallas
+        return poseidon2_permute_pallas(state)
+    return poseidon2_permute(state)

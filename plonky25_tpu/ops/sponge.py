@@ -17,13 +17,16 @@ from ..fields.goldilocks import GL
 from .poseidon2 import poseidon2_permute
 
 
-def hash_rows(rows: GL) -> GL:
+def hash_rows(rows: GL, permute=poseidon2_permute) -> GL:
     """Overwrite-mode sponge over rows of static width (commit.rs:23-46).
 
     rows: GL (..., L).  Returns GL (..., DIGEST_ELEMS).  Chunks of RATE
     overwrite the state prefix, permuting after each chunk (the final
     partial chunk included).  Wide rows (Keccak's 2633 columns => 659
-    chunks) scan over chunks so the graph holds one permutation body."""
+    chunks) scan over chunks so the graph holds one permutation body.
+
+    `permute` lets hot call sites swap in the fused Pallas kernel
+    (ops.poseidon2.poseidon2_permute_auto)."""
     batch = rows.shape[:-1]
     L = rows.shape[-1]
     n_chunks = -(-L // RATE)
@@ -37,7 +40,7 @@ def hash_rows(rows: GL) -> GL:
                 jnp.concatenate([chunk.lo, state.lo[..., k:]], axis=-1),
                 jnp.concatenate([chunk.hi, state.hi[..., k:]], axis=-1),
             )
-            state = poseidon2_permute(state)
+            state = permute(state)
         return state[..., :DIGEST_ELEMS]
 
     pad = n_chunks * RATE - L
@@ -54,20 +57,20 @@ def hash_rows(rows: GL) -> GL:
         clo, chi_, m = xs
         head = gl.select(m, GL(clo, chi_), st[..., :RATE])
         st = gl.concatenate([head, st[..., RATE:]], axis=-1)
-        return poseidon2_permute(st), None
+        return permute(st), None
 
     state, _ = jax.lax.scan(body, state, (ch_lo, ch_hi, mask))
     return state[..., :DIGEST_ELEMS]
 
 
-def compress(left: GL, right: GL) -> GL:
+def compress(left: GL, right: GL, permute=poseidon2_permute) -> GL:
     """2-to-1: permute [left||right||0^4], keep 4 (commit.rs:48-60).
 
     left/right: GL (..., 4)."""
     batch = left.shape[:-1]
     zeros = gl.zeros((*batch, WIDTH - 2 * DIGEST_ELEMS))
     state = gl.concatenate([left, right, zeros], axis=-1)
-    return poseidon2_permute(state)[..., :DIGEST_ELEMS]
+    return permute(state)[..., :DIGEST_ELEMS]
 
 
 def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None):
