@@ -17,6 +17,8 @@ from .proof import (  # noqa: F401
     Proof,
     load_proof,
     proof_from_json,
+    proof_to_json,
+    save_proof,
     derive_config,
 )
 from .air import Air, VerifierConstraintFolder, FilteredAirBuilder  # noqa: F401

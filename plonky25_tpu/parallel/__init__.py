@@ -6,3 +6,9 @@ from .batch import (  # noqa: F401
     tile_witness,
     verify_proof_batch,
 )
+from .multihost import (  # noqa: F401
+    MultiHostBatchVerifier,
+    init_distributed,
+    make_host_mesh,
+    verify_proof_batch_multihost,
+)

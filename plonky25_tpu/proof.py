@@ -167,6 +167,85 @@ def load_proof(path: str) -> Proof:
         return proof_from_json(json.load(f))
 
 
+# -------------------------------------------------------------- JSON writing
+# Inverse of the loader, emitting the exact plonky3 serde schema (the
+# {"value": n} wrappers and the PhantomData "_marker": null on commitments)
+# so that serializing the loaded golden artifact reproduces the file
+# byte-for-byte (see tests/test_refimpl_golden.py).  The reference's e2e
+# test writes its output proof to JSON the same way (src/p3/mod.rs:261).
+
+def _val_j(v: int) -> dict:
+    return {"value": int(v)}
+
+
+def _ext_j(e: Ext) -> dict:
+    return {"value": [_val_j(e[0]), _val_j(e[1])]}
+
+
+def _commitment_j(c: Commitment) -> dict:
+    return {"value": [_val_j(v) for v in c.value], "_marker": None}
+
+
+def proof_to_json(proof: Proof) -> dict:
+    ov = proof.opened_values
+    fp = proof.opening_proof.fri_proof
+    return {
+        "commitments": {
+            "trace": _commitment_j(proof.commitments.trace),
+            "quotient_chunks": _commitment_j(proof.commitments.quotient_chunks),
+        },
+        "opened_values": {
+            "trace_local": [_ext_j(e) for e in ov.trace_local],
+            "trace_next": [_ext_j(e) for e in ov.trace_next],
+            "quotient_chunks": [[_ext_j(e) for e in chunk]
+                                for chunk in ov.quotient_chunks],
+        },
+        "opening_proof": {
+            "fri_proof": {
+                "commit_phase_commits": [
+                    _commitment_j(c) for c in fp.commit_phase_commits
+                ],
+                "query_proofs": [
+                    {
+                        "commit_phase_openings": [
+                            {
+                                "sibling_value": _ext_j(s.sibling_value),
+                                "opening_proof": [
+                                    [_val_j(v) for v in sib]
+                                    for sib in s.opening_proof
+                                ],
+                            }
+                            for s in q.commit_phase_openings
+                        ]
+                    }
+                    for q in fp.query_proofs
+                ],
+                "final_poly": _ext_j(fp.final_poly),
+                "pow_witness": _val_j(fp.pow_witness),
+            },
+            "query_openings": [
+                [
+                    {
+                        "opened_values": [[_val_j(v) for v in row]
+                                          for row in b.opened_values],
+                        "opening_proof": [[_val_j(v) for v in sib]
+                                          for sib in b.opening_proof],
+                    }
+                    for b in batches
+                ]
+                for batches in proof.opening_proof.query_openings
+            ],
+        },
+        "degree_bits": int(proof.degree_bits),
+    }
+
+
+def save_proof(proof: Proof, path: str) -> None:
+    """Write a proof in the reference's compact JSON format."""
+    with open(path, "w") as f:
+        json.dump(proof_to_json(proof), f, separators=(",", ":"))
+
+
 def derive_config(proof: Proof, fri_config: FriConfig) -> P3Config:
     """Shape-derived config, exactly as p3/mod.rs:74-87."""
     return P3Config(

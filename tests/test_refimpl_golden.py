@@ -52,3 +52,15 @@ def test_tampered_final_poly_rejected(golden_proof):
     fp = p.opening_proof.fri_proof.final_poly
     p.opening_proof.fri_proof.final_poly = (fp[0] ^ 2, fp[1])
     assert not verify(p, FibonacciAir(), FC).ok
+
+
+def test_proof_serialization_byte_exact(golden_proof):
+    """proof_to_json of the loaded golden artifact reproduces the file
+    byte-for-byte (serde parity: src/p3/serde/proof.rs round-trip)."""
+    import json
+    from plonky25_tpu.proof import proof_to_json, proof_from_json
+
+    s = json.dumps(proof_to_json(golden_proof), separators=(",", ":"))
+    with open("/root/reference/artifacts/proof_fibonacci.json") as f:
+        assert s == f.read().strip()
+    assert proof_from_json(json.loads(s)) == golden_proof
