@@ -22,3 +22,10 @@ from .proof import (  # noqa: F401
     derive_config,
 )
 from .air import Air, VerifierConstraintFolder, FilteredAirBuilder  # noqa: F401
+from .errors import (  # noqa: F401
+    P25Error,
+    FriError,
+    InvalidProofShape,
+    InvalidPowWitness,
+    check_proof_shape,
+)

@@ -5,3 +5,4 @@ from .bits import (  # noqa: F401
     reverse_bits_len,
     reverse_slice_index_bits,
 )
+from .profiling import StageTimer, measure_throughput, sync, trace  # noqa: F401

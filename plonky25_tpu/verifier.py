@@ -412,15 +412,19 @@ class TpuVerifier:
 
     # ------------------------------------------------------------------
     def check_shape(self, proof: Proof) -> bool:
-        """Host-side shape validation (verifier.rs:126-133)."""
-        ov = proof.opened_values
-        return (
-            len(ov.trace_local) == self.air.width()
-            and len(ov.trace_next) == self.air.width()
-            and len(ov.quotient_chunks) == self.quotient_degree
-            and all(len(qc) == EXT_DEGREE for qc in ov.quotient_chunks)
-            and len(proof.opening_proof.fri_proof.query_proofs) == self.Q
-        )
+        """Host-side shape validation (verifier.rs:126-133, 372-374).
+
+        Boolean form of errors.check_proof_shape; `verify` maps a failure
+        to VerifyResult.shape_ok=False, the strict form raises."""
+        from .errors import InvalidProofShape, check_proof_shape
+
+        try:
+            check_proof_shape(proof, self.config)
+        except InvalidProofShape:
+            return False
+        # config.trace_width is proof-derived; the AIR must agree too
+        # (the reference's panic at verifier.rs:126-133 compares air.width()).
+        return len(proof.opened_values.trace_local) == self.air.width()
 
     def verify_witness(self, w: Dict) -> VerifyResult:
         """Run all stages on packed witness arrays."""
