@@ -54,7 +54,9 @@ def main():
 
     # throughput: B proofs per dispatch (amortizes stage-dispatch latency,
     # which dominates for one tiny proof over the TPU tunnel)
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    # throughput saturates at B=2048 on v5e-1 (385k q/s/chip; B=32 gave
+    # 74k — small batches are dispatch-bound over the TPU tunnel)
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
     bv = BatchVerifier(FibonacciAir(), config)
     ws = jax.device_put(tile_witness(w, B))
     oks = bv.verify_witnesses(ws)           # warmup / compile

@@ -73,7 +73,8 @@ def compress(left: GL, right: GL, permute=poseidon2_permute) -> GL:
     return permute(state)[..., :DIGEST_ELEMS]
 
 
-def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None):
+def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None,
+                permute=poseidon2_permute):
     """Walk a batch of Merkle paths (commit.rs:92-123, single-matrix case).
 
     leaf_digest: GL (Q, 4); index: uint32 (Q,); siblings: GL (Q, D, 4);
@@ -94,7 +95,7 @@ def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None):
         is_odd = (idx & jnp.uint32(1)).astype(bool)[..., None]
         left = gl.select(is_odd, sib, root)
         right = gl.select(is_odd, root, sib)
-        new_root = compress(left, right)
+        new_root = compress(left, right, permute)
         root = gl.select(v, new_root, root)
         idx = jnp.where(v, idx >> 1, idx)
         return (root, idx), None
@@ -105,14 +106,15 @@ def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None):
     return root, idx
 
 
-def verify_batch_single(commit: GL, leaf_rows: GL, index, siblings: GL, valid=None):
+def verify_batch_single(commit: GL, leaf_rows: GL, index, siblings: GL,
+                        valid=None, permute=poseidon2_permute):
     """verify_batch for a batch whose matrices all live at the tallest
     height (the only case the fibonacci workload exercises; the general
     multi-height fold-in is built in plonky25_tpu.commit).
 
     commit: GL (4,); leaf_rows: GL (Q, L); index (Q,); siblings (Q, D, 4).
     Returns ok: bool (Q,)."""
-    digest = hash_rows(leaf_rows)
-    root, _ = merkle_path(digest, index, siblings, valid)
+    digest = hash_rows(leaf_rows, permute)
+    root, _ = merkle_path(digest, index, siblings, valid, permute)
     want = gl.broadcast_to(commit, root.shape)
     return jnp.all(gl.eq(root, want), axis=-1)

@@ -85,6 +85,17 @@ class TpuVerifier:
         self.degree_bits = config.degree_bits
         self.quotient_degree = 1 << config.log_quotient_degree
 
+        # Hash kernel for the Merkle-heavy stages.  Measured on v5e: the
+        # scan-based jnp path wins for the verifier's shapes — Q=100-lane
+        # permutes inside level scans are dispatch-bound (6.8 ms vs 9.8 ms
+        # per single verify), and under the BatchVerifier's vmap a
+        # pallas_call batches as a serial grid loop over proofs (380k ->
+        # 124k queries/s).  The fused Pallas kernel pays off where batches
+        # are wide and un-vmapped: the prover's Merkle tree construction
+        # (ops/mmcs.py routes there via poseidon2_permute_auto).
+        from .ops.poseidon2 import poseidon2_permute as _permute_jnp
+        self._permute = _permute_jnp
+
         # ---- host domain math (refimpl ints; two_adic.rs semantics)
         degree = 1 << self.degree_bits
         self.trace_domain = TwoAdicMultiplicativeCoset.natural_domain_for_degree(
@@ -202,7 +213,8 @@ class TpuVerifier:
         Query count is taken from the inputs (not config) so the sharded
         path can pad the query axis to a device multiple."""
         leaf = vals.reshape(vals.shape[0], -1)
-        return verify_batch_single(commit, leaf, index, sibs)
+        return verify_batch_single(commit, leaf, index, sibs,
+                                   permute=self._permute)
 
     def _ro_fn(self, index, zeta: GL2, zeta_next: GL2, alpha_fri: GL2,
                batch_values, trace_local: GL2, trace_next: GL2,
@@ -328,8 +340,9 @@ class TpuVerifier:
 
             # leaf row = [e0.c0, e0.c1, e1.c0, e1.c1] (verifier.rs:471-481)
             leaf = gl.stack([e0.c0, e0.c1, e1.c0, e1.c1], axis=-1)
-            digest = hash_rows(leaf)
-            root, _ = merkle_path(digest, idx_pair, sibs, v)
+            digest = hash_rows(leaf, self._permute)
+            root, _ = merkle_path(digest, idx_pair, sibs, v,
+                                  permute=self._permute)
             ok &= jnp.all(gl.eq(root, gl.broadcast_to(commit, root.shape)), axis=-1)
 
             # sibling x-coordinate differs by the order-2 generator (= -1)
