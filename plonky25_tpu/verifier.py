@@ -317,17 +317,35 @@ class TpuVerifier:
     def _fold_fn(self, index, phase_commits: GL, betas_stack: GL2,
                  sib_vals: GL2, ro_stack: GL2, fold_sibs: GL,
                  final_poly: GL2):
-        """FRI fold (verifier.rs:419-519): scan over levels; per level one
-        leaf hash + one masked Merkle-path scan + the beta interpolation."""
+        """FRI fold (verifier.rs:419-519).
+
+        Levels are scanned in GROUPS of two, each group's Merkle paths
+        padded only to the group's own max depth (level l opens a
+        height-(L-l) tree, serde/proof.rs:204-211): 24+6 permutations per
+        query for the golden shape instead of 42 with uniform depth-L
+        padding — the fold stage dominated batch verification — while the
+        traced graph stays at ceil(L/2) scan bodies (a full per-level
+        unroll made XLA compile time blow up superlinearly; see the module
+        docstring's compile-cost discipline).
+
+        The interpolation denominator 1/(xs1-xs0) = ±1/(2x) comes from a
+        CARRIED inverse: inv_x = g^{-rev(idx)} via the same masked-product
+        pow as x, then squared alongside x each level — two base-field muls
+        instead of a GF(p²) inversion (~72 squarings) per level.  Identical
+        field values to the reference's per-level ext division
+        (verifier.rs:494-511); x lies in the base field throughout
+        (x_init = g^rev, verifier.rs:431-436)."""
         Q = index.shape[0]
-        valid = jnp.asarray(self.fold_valid)
+        L = self.n_phases
 
         g_logmax = Gl.two_adic_generator(self.log_max_height)
         rev_full = reverse_bits_len_u32(index, self.log_max_height)
-        x_init = gl2.from_base(gl.pow_u32(g_logmax, rev_full, self.log_max_height))
+        x = gl.pow_u32(g_logmax, rev_full, self.log_max_height)       # (Q,)
+        inv_x = gl.pow_u32(Gl.inv(g_logmax), rev_full, self.log_max_height)
+        half = gl.full((Q,), Gl.inv(2))
 
         def fold_body(carry, xs):
-            folded, idx, x, ok = carry
+            folded, idx, x, inv_x, ok = carry
             commit, beta, sib_val, ro_l, sibs, v = xs
             folded = gl2.add(ro_l, folded)
 
@@ -343,21 +361,36 @@ class TpuVerifier:
             digest = hash_rows(leaf, self._permute)
             root, _ = merkle_path(digest, idx_pair, sibs, v,
                                   permute=self._permute)
-            ok &= jnp.all(gl.eq(root, gl.broadcast_to(commit, root.shape)), axis=-1)
+            ok &= jnp.all(gl.eq(root, gl.broadcast_to(commit, root.shape)),
+                          axis=-1)
 
-            # sibling x-coordinate differs by the order-2 generator (= -1)
-            x_neg = gl2.neg(x)
-            xs0 = gl2.select(is_odd, x, x_neg)
-            xs1 = gl2.select(is_odd, x_neg, x)
+            # sibling x-coordinate differs by the order-2 generator (= -1):
+            # xs0 = ±x, and 1/(xs1-xs0) = ±(1/2)·inv_x
+            xs0 = gl.select(is_odd, x, gl.neg(x))
+            inv_denom = gl.mul(half, inv_x)
+            inv_denom = gl.select(is_odd, gl.neg(inv_denom), inv_denom)
 
-            num = gl2.mul(gl2.sub(e1, e0), gl2.sub(gl2.broadcast_to(beta, (Q,)), xs0))
-            folded = gl2.add(e0, gl2.mul(gl2.inv(gl2.sub(xs1, xs0)), num))
-            return (folded, idx_pair, gl2.square(x), ok), None
+            num = gl2.mul(gl2.sub(e1, e0),
+                          gl2.sub_base(gl2.broadcast_to(beta, (Q,)), xs0))
+            folded = gl2.add(e0, gl2.mul_base(num, inv_denom))
+            return (folded, idx_pair, gl.square(x), gl.square(inv_x), ok), None
 
-        init = (gl2.zeros((Q,)), index, x_init, jnp.ones((Q,), bool))
-        xs = (phase_commits, betas_stack, sib_vals, ro_stack, fold_sibs, valid)
-        (folded_eval, _, _, ok), _ = jax.lax.scan(fold_body, init, xs)
+        carry = (gl2.zeros((Q,)), index, x, inv_x, jnp.ones((Q,), bool))
+        GROUP = 2
+        for l0 in range(0, L, GROUP):
+            l1 = min(l0 + GROUP, L)
+            dmax = L - l0  # deepest path in this group
+            xs = (
+                phase_commits[l0:l1],
+                betas_stack[l0:l1],
+                sib_vals[l0:l1],
+                ro_stack[l0:l1],
+                fold_sibs[l0:l1][:, :, :dmax],
+                jnp.asarray(self.fold_valid[l0:l1, :dmax]),
+            )
+            carry, _ = jax.lax.scan(fold_body, carry, xs)
 
+        folded_eval, _, _, _, ok = carry
         fp = gl2.broadcast_to(final_poly, (Q,))
         return jnp.all(gl2.eq(folded_eval, fp) & ok)
 
