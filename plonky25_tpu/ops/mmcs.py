@@ -20,11 +20,24 @@ from ..fields.goldilocks import GL
 from .poseidon2 import poseidon2_permute_auto
 from .sponge import compress, hash_rows
 
-# Prover-side hashing is the one place batches get big (N leaf rows, N/2^t
-# compressions per level), so route through the backend-aware dispatcher:
-# fused Pallas kernel on TPU, scan-based jnp path on CPU.
-_hash_rows_j = jax.jit(lambda rows: hash_rows(rows, poseidon2_permute_auto))
-_compress_j = jax.jit(lambda l, r: compress(l, r, poseidon2_permute_auto))
+
+@jax.jit
+def _build_tree(rows: GL):
+    """Leaf hashes + every compression level in ONE device dispatch.
+
+    Eagerly dispatching one kernel per level cost ~17 host->device round
+    trips over the TPU tunnel (~10x the compute time of a 2^17-leaf tree);
+    a single jit with the log2(N) levels statically unrolled runs the whole
+    build on device.  Prover-side hashing is also the one place batches get
+    big, so levels route through the backend-aware permute dispatcher
+    (fused Pallas kernel on TPU, scan-based jnp path on CPU / tiny levels).
+    """
+    levels = [hash_rows(rows, poseidon2_permute_auto)]
+    while levels[-1].shape[0] > 1:
+        prev = levels[-1]
+        levels.append(
+            compress(prev[0::2], prev[1::2], poseidon2_permute_auto))
+    return tuple(levels)
 
 
 class DeviceMerkleTree:
@@ -35,13 +48,7 @@ class DeviceMerkleTree:
     def __init__(self, rows: GL):
         n = rows.shape[0]
         assert n & (n - 1) == 0
-        digests = _hash_rows_j(rows)
-        self.levels: List[GL] = [digests]
-        while self.levels[-1].shape[0] > 1:
-            prev = self.levels[-1]
-            left = prev[0::2]
-            right = prev[1::2]
-            self.levels.append(_compress_j(left, right))
+        self.levels: List[GL] = list(_build_tree(rows))
 
     @property
     def root(self) -> GL:
