@@ -61,13 +61,16 @@ class DeviceMerkleTree:
         """Sibling digests for a batch of leaf indices.
 
         indices: (Q,) uint32 -> GL (Q, depth, 4), level t sibling =
-        levels[t][(idx >> t) ^ 1]."""
+        levels[t][(idx >> t) ^ 1].  One jitted dispatch (eager per-level
+        gathers each cost a tunnel round trip)."""
         idx = jnp.asarray(indices, jnp.uint32)
-        sibs = []
-        for t in range(len(self.levels) - 1):
-            lvl = self.levels[t]
-            sibs.append(lvl[(idx >> t) ^ 1])  # (Q, 4)
-        return GL(
-            jnp.stack([s.lo for s in sibs], axis=1),
-            jnp.stack([s.hi for s in sibs], axis=1),
-        )
+        return _open_paths(tuple(self.levels), idx)
+
+
+@jax.jit
+def _open_paths(levels, idx):
+    sibs = [levels[t][(idx >> t) ^ 1] for t in range(len(levels) - 1)]
+    return GL(
+        jnp.stack([s.lo for s in sibs], axis=1),
+        jnp.stack([s.hi for s in sibs], axis=1),
+    )

@@ -91,9 +91,13 @@ class TpuProver:
 
         self._s_commit_trace = jax.jit(self._commit_trace_fn)
         self._s_quotient = jax.jit(self._quotient_fn)
+        self._s_commit_chunks = jax.jit(self._commit_chunks_fn)
         self._s_opened = jax.jit(self._opened_fn)
         self._s_ro = jax.jit(self._ro_fn)
         self._grind = jax.jit(self._grind_fn)
+        # per-FRI-phase jits (rows/fold-step), keyed by log_folded; host
+        # twiddle/inverse tables computed once per shape and closed over
+        self._fold_cache: Dict = {}
 
     # ------------------------------------------------------------ stages
     def _commit_trace_fn(self, cols: GL):
@@ -150,9 +154,13 @@ class TpuProver:
         acc = folder.accumulator                          # (q,) ext
         return gl2.mul_base(acc, inv_zeroifier)
 
-    def _commit_chunks(self, q_evals: GL2):
+    def _commit_chunks_fn(self, q_evals: GL2):
         """Split quotient evals into chunks, LDE-commit each as EXT_DEGREE
-        base columns; returns concatenated bit-reversed rows (2^l, ch*D)."""
+        base columns; returns concatenated bit-reversed rows (2^l, ch*D).
+
+        Jitted: run eagerly this is hundreds of per-op dispatches (each
+        with its own mini-compile over the TPU tunnel) — measured 222s at
+        log_n=10 vs seconds jitted."""
         rows_per_chunk = []
         l = self.q_log_n - self.lqd + self.fc.log_blowup
         for ci in range(self.n_chunks):
@@ -167,7 +175,36 @@ class TpuProver:
         return GL(
             jnp.concatenate([r.lo for r in rows_per_chunk], axis=-1),
             jnp.concatenate([r.hi for r in rows_per_chunk], axis=-1),
-        ), rows_per_chunk
+        )
+
+    def _fold_phase(self, log_folded: int):
+        """(rows_fn, step_fn) for one FRI commit phase, jitted, with the
+        phase's host twiddle/inverse tables closed over (computed once per
+        shape, reused across proofs)."""
+        if log_folded not in self._fold_cache:
+            m = 1 << log_folded
+            g_cur = Gl.two_adic_generator(log_folded + 1)
+            x0_host = [pow(g_cur, reverse_bits_len(2 * j, log_folded + 1), P)
+                       for j in range(m)]
+            den_inv_host = [Gl.inv((P - 2 * x) % P) for x in x0_host]
+            x0 = gl.from_u64(x0_host)
+            den_inv = gl.from_u64(den_inv_host)
+
+            def rows_fn(u: GL2):
+                e0 = u[0::2]
+                e1 = u[1::2]
+                rows = gl.stack([e0.c0, e0.c1, e1.c0, e1.c1], axis=-1)
+                return rows, e0, e1
+
+            def step_fn(e0: GL2, e1: GL2, beta: GL2):
+                num = gl2.mul(
+                    gl2.sub(e1, e0),
+                    gl2.sub_base(gl2.broadcast_to(beta, (m,)), x0),
+                )
+                return gl2.add(e0, gl2.mul_base(num, den_inv))
+
+            self._fold_cache[log_folded] = (jax.jit(rows_fn), jax.jit(step_fn))
+        return self._fold_cache[log_folded]
 
     def _opened_fn(self, cols: GL, q_evals: GL2, zeta: GL2):
         """Opened values at zeta / zeta*g (barycentric, batched)."""
@@ -279,7 +316,7 @@ class TpuProver:
 
         # quotient
         q_evals = self._s_quotient(cols, alpha_d)               # (q,) ext
-        q_rows, _ = self._commit_chunks(q_evals)
+        q_rows = self._s_commit_chunks(q_evals)
         quotient_tree = DeviceMerkleTree(q_rows)
         quotient_commit = quotient_tree.root_host()
         ch.observe_many(quotient_commit)
@@ -306,10 +343,8 @@ class TpuProver:
         commit_phase_vectors = []
         betas = []
         for log_folded in range(self.log_max - 1, fc.log_blowup - 1, -1):
-            m = 1 << log_folded
-            e0 = u[0::2]
-            e1 = u[1::2]
-            rows = gl.stack([e0.c0, e0.c1, e1.c0, e1.c1], axis=-1)  # (m, 4)
+            rows_fn, step_fn = self._fold_phase(log_folded)
+            rows, e0, e1 = rows_fn(u)                       # (m, 4), (m,) ext
             tree = DeviceMerkleTree(rows)
             commit_phase_trees.append(tree)
             commit_phase_vectors.append(u)
@@ -319,18 +354,7 @@ class TpuProver:
             beta = ch.sample_ext()
             betas.append(beta)
             beta_d = gl2.from_u64_pair(beta[0], beta[1])
-
-            g_cur = Gl.two_adic_generator(log_folded + 1)
-            x0_host = [pow(g_cur, reverse_bits_len(2 * j, log_folded + 1), P)
-                       for j in range(m)]
-            den_inv_host = [Gl.inv((P - 2 * x) % P) for x in x0_host]
-            x0 = gl.from_u64(x0_host)
-            den_inv = gl.from_u64(den_inv_host)
-            num = gl2.mul(
-                gl2.sub(e1, e0),
-                gl2.sub_base(gl2.broadcast_to(beta_d, (m,)), x0),
-            )
-            u = gl2.add(e0, gl2.mul_base(num, den_inv))
+            u = step_fn(e0, e1, beta_d)
 
         u_host = _ext_pull(u)
         final_poly = u_host[0]
