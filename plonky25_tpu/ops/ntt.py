@@ -91,9 +91,13 @@ def ntt(x: GL, inverse: bool = False) -> GL:
     for s in range(log_n):
         m = 1 << s
         tw = _stage_twiddles(log_n, s, inverse)          # (m,)
-        a = x.reshape(*batch, n // (2 * m), 2, m)
-        e = a[..., 0, :]
-        o = a[..., 1, :]
+        # (N/2m, 2m) view with half-slices — NOT a (N/2m, 2, m) view with a
+        # middle-axis index: the latter deterministically MISCOMPILES on the
+        # TPU toolchain for small batched uint32 shapes like (2, 64) (row 0
+        # correct, row 1 garbage; reproduced eager-vs-jit).  Same math.
+        a = x.reshape(*batch, n // (2 * m), 2 * m)
+        e = a[..., :m]
+        o = a[..., m:]
         t = gl.mul(tw, o)
         plus = gl.add(e, t)
         minus = gl.sub(e, t)

@@ -1,0 +1,114 @@
+"""Device-resident duplex challenger for the prover's Fiat-Shamir transcript.
+
+Same duplex semantics as the int oracle (refimpl/challenger.py, mirroring
+src/p3/challenger.rs with its two bit-exactness quirks: input buffer fills
+to WIDTH=12 before duplexing, and `sample` pops from the BACK of the output
+buffer) — but every value is a device scalar and every duplex is one jitted
+permutation.  The prover's transcript thereby stays on device end-to-end:
+tree roots feed observes and sampled challenges feed the next stage with NO
+device->host synchronization until final proof assembly.  (The host-pull
+variant blocked on every phase's Merkle root — one tunnel round trip per
+FRI phase.)
+
+Buffer STATE (fill counts, pop positions) is host-side Python — it depends
+only on the call schedule, never on field values, so control flow stays
+static and traceable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import numpy as np
+
+from ..constants import WIDTH
+from ..fields import gl
+from ..fields.extension import GL2
+from ..fields.goldilocks import GL
+from ..ops.poseidon2 import poseidon2_permute
+
+_permute_j = jax.jit(poseidon2_permute)
+
+
+@jax.jit
+def _duplex_with(state: GL, head: GL) -> GL:
+    """Overwrite the first len(head) lanes with `head`, then permute."""
+    k = head.shape[0]
+    return _permute_j(gl.concatenate([head, state[k:]]))
+
+
+class DeviceChallenger:
+    """Duplex challenger over device scalars (GL of shape ())."""
+
+    def __init__(self):
+        self.state: GL = gl.zeros((WIDTH,))
+        self.input_buffer: List[GL] = []      # GL () scalars
+        self._out_avail: int = 0              # entries of `state` still poppable
+
+    def _duplex(self):
+        assert len(self.input_buffer) <= WIDTH
+        if self.input_buffer:
+            head = gl.stack(self.input_buffer)
+            self.input_buffer = []
+            self.state = _duplex_with(self.state, head)
+        else:
+            self.state = _permute_j(self.state)
+        self._out_avail = WIDTH
+
+    def observe(self, value: GL):
+        """value: GL scalar (shape ())."""
+        self._out_avail = 0
+        self.input_buffer.append(value)
+        if len(self.input_buffer) == WIDTH:
+            self._duplex()
+
+    def observe_many(self, values: GL):
+        """values: GL (k,)."""
+        for i in range(values.shape[0]):
+            self.observe(values[i])
+
+    def sample(self) -> GL:
+        if self.input_buffer or not self._out_avail:
+            self._duplex()
+        self._out_avail -= 1
+        return self.state[self._out_avail]
+
+    def sample_ext(self) -> GL2:
+        return GL2(self.sample(), self.sample())
+
+    def sample_bits(self, bits: int):
+        """-> uint32 device scalar (bits <= 32)."""
+        assert bits <= 32
+        v = self.sample()
+        return v.lo & np.uint32((1 << bits) - 1)
+
+    def sample_many_bits(self, n: int, bits: int):
+        """Sample n values masked to `bits` bits in ONE jitted dispatch
+        (static schedule: drain the remaining output entries, then duplex
+        as needed).  -> (n,) uint32 device array."""
+        assert bits <= 32 and not self.input_buffer
+        avail = self._out_avail
+        n_duplex = 0
+        need = n - avail
+        while need > 0:
+            n_duplex += 1
+            need -= WIDTH
+
+        state, out = _sample_many(self.state, avail, n_duplex, n)
+        self.state = state
+        self._out_avail = (avail + n_duplex * WIDTH) - n
+        return out & np.uint32((1 << bits) - 1)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _sample_many(state: GL, avail: int, n_duplex: int, n: int):
+    outs = []
+    for i in range(avail - 1, -1, -1):
+        outs.append(state[i])
+    for _ in range(n_duplex):
+        state = poseidon2_permute(state)
+        for i in range(WIDTH - 1, -1, -1):
+            outs.append(state[i])
+    return state, gl.stack(outs[:n]).lo

@@ -39,7 +39,7 @@ from ..proof import (
     QueryProof,
     TwoAdicFriPcsProof,
 )
-from ..refimpl.challenger import DuplexChallenger
+from .device_challenger import DeviceChallenger
 from ..refimpl.field import Gl
 from ..utils.bits import log2_ceil, log2_strict, reverse_bits_len
 
@@ -298,10 +298,16 @@ class TpuProver:
 
     # ------------------------------------------------------------ prove
     def prove(self, trace_rows_host: List[List[int]]) -> Proof:
+        """The whole transcript runs DEVICE-RESIDENT (DeviceChallenger):
+        Merkle roots feed observes and sampled challenges feed the next
+        stage as device scalars, so the pipeline streams with no
+        device->host synchronization until the PoW grind; host-pulling
+        each phase's root cost one blocking tunnel round trip per FRI
+        phase."""
         fc = self.fc
         H = 1 << self.log_n
         assert len(trace_rows_host) == H and len(trace_rows_host[0]) == self.width
-        ch = DuplexChallenger()
+        ch = DeviceChallenger()
 
         cols_np = np.asarray(trace_rows_host, dtype=object).T  # (W, H)
         cols = gl.from_u64(cols_np)
@@ -309,60 +315,44 @@ class TpuProver:
         # commit trace
         trace_rows = self._s_commit_trace(cols)                 # (N, W)
         trace_tree = DeviceMerkleTree(trace_rows)
-        trace_commit = trace_tree.root_host()
-        ch.observe_many(trace_commit)
-        alpha = ch.sample_ext()
-        alpha_d = gl2.from_u64_pair(alpha[0], alpha[1])
+        ch.observe_many(trace_tree.root)
+        alpha_d = ch.sample_ext()
 
         # quotient
         q_evals = self._s_quotient(cols, alpha_d)               # (q,) ext
         q_rows = self._s_commit_chunks(q_evals)
         quotient_tree = DeviceMerkleTree(q_rows)
-        quotient_commit = quotient_tree.root_host()
-        ch.observe_many(quotient_commit)
-        zeta = ch.sample_ext()
-        zeta_d = gl2.from_u64_pair(zeta[0], zeta[1])
+        ch.observe_many(quotient_tree.root)
+        zeta_d = ch.sample_ext()
 
-        # opened values
+        # opened values (stay on device; pulled at assembly)
         tl, tn, qc = self._s_opened(cols, q_evals, zeta_d)
-        opened = OpenedValues(
-            trace_local=_ext_pull(tl),
-            trace_next=_ext_pull(tn),
-            quotient_chunks=[
-                _ext_pull(GL2(qc.c0[ci], qc.c1[ci])) for ci in range(self.n_chunks)
-            ],
-        )
 
         # FRI
-        alpha_fri = ch.sample_ext()
-        alpha_fri_d = gl2.from_u64_pair(alpha_fri[0], alpha_fri[1])
+        alpha_fri_d = ch.sample_ext()
         u = self._s_ro(trace_rows, q_rows, tl, tn, qc, zeta_d, alpha_fri_d)
 
-        commit_phase_commits = []
         commit_phase_trees = []
         commit_phase_vectors = []
-        betas = []
         for log_folded in range(self.log_max - 1, fc.log_blowup - 1, -1):
             rows_fn, step_fn = self._fold_phase(log_folded)
             rows, e0, e1 = rows_fn(u)                       # (m, 4), (m,) ext
             tree = DeviceMerkleTree(rows)
             commit_phase_trees.append(tree)
             commit_phase_vectors.append(u)
-            root = tree.root_host()
-            commit_phase_commits.append(Commitment(value=root))
-            ch.observe_many(root)
-            beta = ch.sample_ext()
-            betas.append(beta)
-            beta_d = gl2.from_u64_pair(beta[0], beta[1])
+            ch.observe_many(tree.root)
+            beta_d = ch.sample_ext()
             u = step_fn(e0, e1, beta_d)
 
-        u_host = _ext_pull(u)
-        final_poly = u_host[0]
-        assert all(v == final_poly for v in u_host), "FRI input not low-degree"
+        # low-degree check flag, asserted at assembly
+        low_degree_ok = jnp.all(gl2.eq(u, gl2.broadcast_to(
+            GL2(u.c0[0], u.c1[0]), u.c0.shape)))
 
-        # PoW grind (sequential witness order, device-batched windows)
+        # PoW grind (sequential witness order, device-batched windows);
+        # the per-window `found` pull is the first sync of the proof — by
+        # now the whole pipeline above is enqueued and draining
         assert not ch.input_buffer
-        state_rest = gl.from_u64([ch.state[i] for i in range(1, 12)])
+        state_rest = ch.state[1:12]
         pow_witness = None
         base = 0
         while pow_witness is None:
@@ -372,13 +362,30 @@ class TpuProver:
             else:
                 base += 1 << 16
                 assert base < (1 << 40), "PoW grind runaway"
-        ch.observe(pow_witness)
-        assert ch.sample_bits(fc.proof_of_work_bits) == 0
+        ch.observe(gl.from_u64([pow_witness])[0])
+        pow_ok = ch.sample_bits(fc.proof_of_work_bits) == 0
 
-        # queries
-        query_indices = [ch.sample_bits(self.log_max)
-                         for _ in range(fc.num_queries)]
-        qidx = jnp.asarray(query_indices, jnp.uint32)
+        # queries: one jitted dispatch for all index samples
+        qidx = ch.sample_many_bits(fc.num_queries, self.log_max)
+
+        # ---- assembly: the only device->host pulls of the proof
+        assert bool(np.asarray(pow_ok)), "PoW self-check failed"
+        assert bool(np.asarray(low_degree_ok)), "FRI input not low-degree"
+
+        trace_commit = trace_tree.root_host()
+        quotient_commit = quotient_tree.root_host()
+        commit_phase_commits = [Commitment(value=t.root_host())
+                                for t in commit_phase_trees]
+        opened = OpenedValues(
+            trace_local=_ext_pull(tl),
+            trace_next=_ext_pull(tn),
+            quotient_chunks=[
+                _ext_pull(GL2(qc.c0[ci], qc.c1[ci]))
+                for ci in range(self.n_chunks)
+            ],
+        )
+        final_poly = _ext_pull(GL2(u.c0[0], u.c1[0]))
+        query_indices = [int(v) for v in np.asarray(qidx)]
 
         trace_open_rows = np.asarray(gl.to_u64(trace_rows[qidx]))   # (Q, W)
         q_open_rows = np.asarray(gl.to_u64(q_rows[qidx]))           # (Q, ch*D)
