@@ -296,6 +296,65 @@ class TpuProver:
             ok &= (out.hi[:, 11] & np.uint32((1 << (bits - 32)) - 1)) == 0
         return jnp.any(ok), jnp.argmax(ok)
 
+    # ---------------------------------------------------------- warmup
+    def warmup(self, max_workers: int = 8) -> None:
+        """Compile every stage/phase/tree module CONCURRENTLY on zero-filled
+        inputs.  First-proof latency is dominated by module COUNT times the
+        fixed remote-compile latency of the TPU toolchain (~25s/module
+        serial; ~3x faster with parallel requests — measured 6 modules in
+        8.6s parallel vs 24.9s serial), so a threaded warmup pass
+        front-loads all of it.  No-op cost when modules are already
+        compiled."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops.mmcs import _build_tree, _open_paths
+
+        fc = self.fc
+        W, H = self.width, 1 << self.log_n
+        N = 1 << self.log_max
+        qsize = 1 << self.q_log_n
+        l = self.q_log_n - self.lqd + fc.log_blowup
+        Q = fc.num_queries
+
+        def z(shape):
+            zz = jnp.zeros(shape, jnp.uint32)
+            return GL(zz, zz)
+
+        def ze(shape):
+            return GL2(z(shape), z(shape))
+
+        calls = [
+            lambda: self._s_commit_trace(z((W, H))),
+            lambda: self._s_quotient(z((W, H)), ze(())),
+            lambda: self._s_commit_chunks(ze((qsize,))),
+            lambda: self._s_opened(z((W, H)), ze((qsize,)), ze(())),
+            lambda: self._s_ro(z((N, W)), z((1 << l, self.n_chunks * EXT_DEGREE)),
+                               ze((W,)), ze((W,)),
+                               ze((self.n_chunks, EXT_DEGREE)), ze(()), ze(())),
+            lambda: self._grind(z((11,)), jnp.uint32(0)),
+        ]
+        tree_heights = [(N, W), (1 << l, self.n_chunks * EXT_DEGREE)]
+        for log_folded in range(self.log_max - 1, fc.log_blowup - 1, -1):
+            m = 1 << log_folded
+            tree_heights.append((m, 4))
+            rows_fn, step_fn = self._fold_phase(log_folded)
+            calls.append(lambda rf=rows_fn, mm=m: rf(ze((2 * mm,))))
+            calls.append(lambda sf=step_fn, mm=m: sf(ze((mm,)), ze((mm,)), ze(())))
+        for shape in tree_heights:
+            calls.append(lambda s=shape: _build_tree(z(s)))
+            levels = []
+            k = shape[0]
+            while True:
+                levels.append(z((k, 4)))
+                if k == 1:
+                    break
+                k //= 2
+            calls.append(lambda lv=tuple(levels):
+                         _open_paths(lv, jnp.zeros((Q,), jnp.uint32)))
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(lambda c: jax.block_until_ready(c()), calls))
+
     # ------------------------------------------------------------ prove
     def prove(self, trace_rows_host: List[List[int]]) -> Proof:
         """The whole transcript runs DEVICE-RESIDENT (DeviceChallenger):
@@ -454,12 +513,14 @@ _prover_cache: Dict = {}
 
 
 def prove_on_device(air: Air, trace_rows: List[List[int]],
-                    fri_config: FriConfig) -> Proof:
+                    fri_config: FriConfig, warmup: bool = True) -> Proof:
     log_n = log2_strict(len(trace_rows))
     key = (air.name(), air.width(), log_n, fri_config.log_blowup,
            fri_config.num_queries, fri_config.proof_of_work_bits)
     p = _prover_cache.get(key)
     if p is None:
         p = TpuProver(air, log_n, fri_config)
+        if warmup:
+            p.warmup()
         _prover_cache[key] = p
     return p.prove(trace_rows)
