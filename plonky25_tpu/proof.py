@@ -29,6 +29,15 @@ class FriConfig:
 
 
 @dataclass
+class FriChallenges:
+    """Sampled FRI challenges (serde/fri.rs:10-13): the per-phase folding
+    betas and the query indices.  Returned by the verifiers for
+    debugging/introspection parity with the reference."""
+    query_indices: List[int]
+    betas: List[Ext]
+
+
+@dataclass
 class Commitment:
     value: List[int]  # DIGEST_ELEMS = 4
 

@@ -508,6 +508,22 @@ class TpuVerifier:
             alpha=t["alpha"], zeta=t["zeta"], query_indices=index,
         )
 
+    def fri_challenges(self, proof: Proof):
+        """Sampled FRI challenges for this proof (FriChallenges parity,
+        serde/fri.rs:10-13): per-phase betas + query indices."""
+        from .proof import FriChallenges
+        from .witness import pack_witness as _pw
+
+        t = self._s_transcript(_pw(proof, self.config)["obs"])
+        bs = t["betas_stack"]
+        betas = [
+            (int(c0), int(c1))
+            for c0, c1 in zip(gl.to_u64(bs.c0), gl.to_u64(bs.c1))
+        ]
+        idx = [int(v) for v in np.asarray(t["index"])]
+        return FriChallenges(query_indices=idx, betas=betas)
+
+
     def verify(self, proof: Proof) -> VerifyResult:
         if not self.check_shape(proof):
             f = jnp.asarray(False)

@@ -79,3 +79,19 @@ def test_wrong_query_count_shape_rejected(golden_proof):
                      FriConfig(log_blowup=1, num_queries=99, proof_of_work_bits=16))
     assert not r.shape_ok
     assert not bool(np.asarray(r.ok))
+
+
+def test_fri_challenges_match_oracle(golden_proof):
+    """FriChallenges parity (serde/fri.rs:10-13): the JAX transcript's betas
+    and query indices equal the int oracle's."""
+    from plonky25_tpu import FriConfig, derive_config
+    from plonky25_tpu.models import FibonacciAir
+    from plonky25_tpu.refimpl.verifier import verify
+    from plonky25_tpu.verifier import get_verifier
+
+    fc = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    v = get_verifier(FibonacciAir(), derive_config(golden_proof, fc))
+    chal = v.fri_challenges(golden_proof)
+    r = verify(golden_proof, FibonacciAir(), fc)
+    assert chal.query_indices == r.query_indices
+    assert chal.betas == r.betas
