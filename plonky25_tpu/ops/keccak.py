@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..refimpl.keccak import RC, R, NUM_ROUNDS
+from ..refimpl.keccak import RC, R
 
 
 class U64Lanes(NamedTuple):

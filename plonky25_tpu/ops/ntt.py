@@ -7,10 +7,11 @@ only verifies); these kernels are the TPU-native counterpart for LDE/
 commitment workloads.
 
 Design (compile-cost disciplined, TPU-friendly):
-  * iterative radix-2 DIT with a host-precomputed bit-reversal gather and a
-    single (N/2,) root-power table; the log2(N) butterfly stages run under
-    ONE lax.scan whose body derives partner/twiddle indices from the stage
-    number with vector int ops (no per-stage tables, no dynamic shapes);
+  * iterative radix-2 DIT with ONE host-precomputed bit-reversal gather,
+    then gather-free butterfly stages (flat (N/2m, 2m) views with
+    half-slices + concat; per-stage twiddles are host strides of one
+    root-power table) — regular data movement the TPU streams at full
+    bandwidth;
   * four-step NTT (`ntt_four_step`) for mesh sharding: local column NTTs,
     twiddle scale, transpose (the all-to-all when the leading axis is
     sharded over devices), local row NTTs - the classic distributed FFT
@@ -21,9 +22,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import GOLDILOCKS_P as P
 from ..fields import gl
@@ -70,8 +69,8 @@ def ntt(x: GL, inverse: bool = False) -> GL:
     Natural order in, natural order out.  inverse=True computes the
     inverse transform including the 1/N scale.
 
-    Gather-free butterflies: stage s views the axis as (N/2m, 2, m) and
-    splits even/odd halves by a static slice, so each stage is
+    Gather-free butterflies: stage s views the axis as (N/2m, 2m) and
+    splits the halves by a static slice, so each stage is
     reshape + slice + mul/add + concat — regular data movement the TPU
     handles at full bandwidth.  (A scan with per-stage index gathers ran
     20 full-length gathers at N=2^20 and was ~40x slower.)  Only the

@@ -29,14 +29,12 @@ tests/test_poseidon2.py).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..constants import (
     GOLDILOCKS_P as P,
     WIDTH,
     ROUND_F_BEGIN,
     ROUND_F_END,
-    ROUND_P,
     MAT_DIAG_M_1,
     RC,
     RC_MID,

@@ -13,7 +13,6 @@ from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..air import Air
 from ..proof import FriConfig, P3Config, Proof, derive_config

@@ -28,7 +28,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..air import Air
 from ..proof import FriConfig, P3Config, Proof, derive_config
-from ..verifier import get_verifier
 from ..witness import pack_witness
 from .batch import BatchVerifier, stack_witnesses
 from .sharded import _pad_axis, _pad_tree

@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import List
 
 from ..air import Air, VerifierConstraintFolder
-from ..constants import GOLDILOCKS_P as P, EXT_DEGREE, DIGEST_ELEMS
+from ..constants import GOLDILOCKS_P as P, EXT_DEGREE
 from ..proof import (
     BatchOpening,
     Commitment,
@@ -43,8 +43,7 @@ from .challenger import DuplexChallenger
 from .commit import compress, hash_iter_slices
 from .domains import TwoAdicMultiplicativeCoset
 from .field import Gl, Gl2
-from .ntt import coset_intt, coset_ntt, intt
-from .verifier import _Gl2Ops
+from .ntt import coset_intt, coset_ntt
 
 
 class MerkleTree:

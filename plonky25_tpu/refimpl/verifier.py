@@ -15,7 +15,7 @@ from typing import List
 
 from ..air import Air, VerifierConstraintFolder
 from ..constants import GOLDILOCKS_P as P, EXT_DEGREE
-from ..proof import FriConfig, P3Config, Proof, derive_config
+from ..proof import FriConfig, Proof, derive_config
 from ..utils.bits import log2_strict, reverse_bits_len
 from .challenger import DuplexChallenger
 from .commit import verify_batch

@@ -26,8 +26,7 @@ they depend only on the proof shape, never on proof values.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

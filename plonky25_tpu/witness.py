@@ -17,7 +17,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .constants import DIGEST_ELEMS, EXT_DEGREE
+from .constants import DIGEST_ELEMS
 from .fields import gl, gl2
 from .fields.goldilocks import GL
 from .fields.extension import GL2
