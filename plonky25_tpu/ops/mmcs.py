@@ -20,6 +20,14 @@ from .poseidon2 import poseidon2_permute_auto
 from .sponge import compress, hash_rows
 
 
+def _build_tree_impl(rows: GL, permute):
+    levels = [hash_rows(rows, permute)]
+    while levels[-1].shape[0] > 1:
+        prev = levels[-1]
+        levels.append(compress(prev[0::2], prev[1::2], permute))
+    return tuple(levels)
+
+
 @jax.jit
 def _build_tree(rows: GL):
     """Leaf hashes + every compression level in ONE device dispatch.
@@ -31,12 +39,15 @@ def _build_tree(rows: GL):
     big, so levels route through the backend-aware permute dispatcher
     (fused Pallas kernel on TPU, scan-based jnp path on CPU / tiny levels).
     """
-    levels = [hash_rows(rows, poseidon2_permute_auto)]
-    while levels[-1].shape[0] > 1:
-        prev = levels[-1]
-        levels.append(
-            compress(prev[0::2], prev[1::2], poseidon2_permute_auto))
-    return tuple(levels)
+    return _build_tree_impl(rows, poseidon2_permute_auto)
+
+
+def _build_tree_jnp(rows: GL):
+    """Tree build on the scan-based jnp permute — the form safe to vmap
+    (a pallas_call under vmap lowers to a serial per-proof grid loop)."""
+    from .poseidon2 import poseidon2_permute
+
+    return _build_tree_impl(rows, poseidon2_permute)
 
 
 class DeviceMerkleTree:

@@ -34,23 +34,30 @@ _permute_j = jax.jit(poseidon2_permute)
 
 @jax.jit
 def _duplex_with(state: GL, head: GL) -> GL:
-    """Overwrite the first len(head) lanes with `head`, then permute."""
-    k = head.shape[0]
-    return _permute_j(gl.concatenate([head, state[k:]]))
+    """Overwrite the first head-width lanes with `head`, then permute.
+
+    state: GL (*batch, 12); head: GL (*batch, k)."""
+    k = head.shape[-1]
+    return _permute_j(gl.concatenate([head, state[..., k:]], axis=-1))
 
 
 class DeviceChallenger:
-    """Duplex challenger over device scalars (GL of shape ())."""
+    """Duplex challenger over device values.
 
-    def __init__(self):
-        self.state: GL = gl.zeros((WIDTH,))
-        self.input_buffer: List[GL] = []      # GL () scalars
+    Scalar by default (values of shape ()); pass batch=(B,) for B parallel
+    transcripts advancing in lockstep (the batch prover) — every observe /
+    sample then takes/returns GL arrays of that batch shape."""
+
+    def __init__(self, batch=()):
+        self.batch = tuple(batch)
+        self.state: GL = gl.zeros((*self.batch, WIDTH))
+        self.input_buffer: List[GL] = []      # GL (*batch,) values
         self._out_avail: int = 0              # entries of `state` still poppable
 
     def _duplex(self):
         assert len(self.input_buffer) <= WIDTH
         if self.input_buffer:
-            head = gl.stack(self.input_buffer)
+            head = gl.stack(self.input_buffer, axis=-1)   # (*batch, k)
             self.input_buffer = []
             self.state = _duplex_with(self.state, head)
         else:
@@ -58,28 +65,28 @@ class DeviceChallenger:
         self._out_avail = WIDTH
 
     def observe(self, value: GL):
-        """value: GL scalar (shape ())."""
+        """value: GL (*batch,)."""
         self._out_avail = 0
         self.input_buffer.append(value)
         if len(self.input_buffer) == WIDTH:
             self._duplex()
 
     def observe_many(self, values: GL):
-        """values: GL (k,)."""
-        for i in range(values.shape[0]):
-            self.observe(values[i])
+        """values: GL (*batch, k) — k lane-values observed in order."""
+        for i in range(values.shape[-1]):
+            self.observe(values[..., i])
 
     def sample(self) -> GL:
         if self.input_buffer or not self._out_avail:
             self._duplex()
         self._out_avail -= 1
-        return self.state[self._out_avail]
+        return self.state[..., self._out_avail]
 
     def sample_ext(self) -> GL2:
         return GL2(self.sample(), self.sample())
 
     def sample_bits(self, bits: int):
-        """-> uint32 device scalar (bits <= 32)."""
+        """-> uint32 device value of the batch shape (bits <= 32)."""
         assert bits <= 32
         v = self.sample()
         return v.lo & np.uint32((1 << bits) - 1)
@@ -87,7 +94,7 @@ class DeviceChallenger:
     def sample_many_bits(self, n: int, bits: int):
         """Sample n values masked to `bits` bits in ONE jitted dispatch
         (static schedule: drain the remaining output entries, then duplex
-        as needed).  -> (n,) uint32 device array."""
+        as needed).  -> (*batch, n) uint32 device array."""
         assert bits <= 32 and not self.input_buffer
         avail = self._out_avail
         n_duplex = 0
@@ -106,9 +113,9 @@ class DeviceChallenger:
 def _sample_many(state: GL, avail: int, n_duplex: int, n: int):
     outs = []
     for i in range(avail - 1, -1, -1):
-        outs.append(state[i])
+        outs.append(state[..., i])
     for _ in range(n_duplex):
         state = poseidon2_permute(state)
         for i in range(WIDTH - 1, -1, -1):
-            outs.append(state[i])
-    return state, gl.stack(outs[:n]).lo
+            outs.append(state[..., i])
+    return state, gl.stack(outs[:n], axis=-1).lo

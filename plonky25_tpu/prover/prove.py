@@ -178,9 +178,17 @@ class TpuProver:
         )
 
     def _fold_phase(self, log_folded: int):
-        """(rows_fn, step_fn) for one FRI commit phase, jitted, with the
-        phase's host twiddle/inverse tables closed over (computed once per
-        shape, reused across proofs)."""
+        """(rows_fn, step_fn) for one FRI commit phase, jitted (raw
+        closures via _fold_phase_raw for the batch prover's vmap)."""
+        key = ("jit", log_folded)
+        if key not in self._fold_cache:
+            rows_fn, step_fn = self._fold_phase_raw(log_folded)
+            self._fold_cache[key] = (jax.jit(rows_fn), jax.jit(step_fn))
+        return self._fold_cache[key]
+
+    def _fold_phase_raw(self, log_folded: int):
+        """Un-jitted (rows_fn, step_fn) with the phase's host twiddle /
+        inverse tables closed over (computed once per shape)."""
         if log_folded not in self._fold_cache:
             m = 1 << log_folded
             g_cur = Gl.two_adic_generator(log_folded + 1)
@@ -203,7 +211,7 @@ class TpuProver:
                 )
                 return gl2.add(e0, gl2.mul_base(num, den_inv))
 
-            self._fold_cache[log_folded] = (jax.jit(rows_fn), jax.jit(step_fn))
+            self._fold_cache[log_folded] = (rows_fn, step_fn)
         return self._fold_cache[log_folded]
 
     def _opened_fn(self, cols: GL, q_evals: GL2, zeta: GL2):
