@@ -78,6 +78,65 @@ class BatchProver:
             self._folds[log_folded] = (jax.jit(jax.vmap(rows_fn)),
                                        jax.jit(jax.vmap(step_fn)))
 
+    def warmup(self, n_proofs: int, max_workers: int = 8) -> None:
+        """Compile all vmapped modules for a batch of n_proofs concurrently
+        (same rationale as TpuProver.warmup: first-proof latency is module
+        count x fixed remote-compile latency, ~3x faster in parallel)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        b = self.base
+        fc = b.fc
+        B = n_proofs
+        W, H = b.width, 1 << b.log_n
+        N = 1 << b.log_max
+        qsize = 1 << b.q_log_n
+        l = b.q_log_n - b.lqd + fc.log_blowup
+        Q = fc.num_queries
+
+        def z(shape):
+            zz = jnp.zeros(shape, jnp.uint32)
+            return GL(zz, zz)
+
+        def ze(shape):
+            return GL2(z(shape), z(shape))
+
+        def levels_for(n0, width):
+            levels = []
+            k = n0
+            while True:
+                levels.append(z((B, k, 4)))
+                if k == 1:
+                    break
+                k //= 2
+            return tuple(levels)
+
+        calls = [
+            lambda: self._c_trace(z((B, W, H))),
+            lambda: self._quot(z((B, W, H)), ze((B,))),
+            lambda: self._chunks(ze((B, qsize))),
+            lambda: self._opened(z((B, W, H)), ze((B, qsize)), ze((B,))),
+            lambda: self._ro(z((B, N, W)), z((B, 1 << l, b.n_chunks * EXT_DEGREE)),
+                             ze((B, W)), ze((B, W)),
+                             ze((B, b.n_chunks, EXT_DEGREE)), ze((B,)), ze((B,))),
+            lambda: self._grind_v(z((B, 11)), jnp.uint32(0)),
+            lambda: self._tree(z((B, N, W))),
+            lambda: self._tree(z((B, 1 << l, b.n_chunks * EXT_DEGREE))),
+            lambda: _open_paths_v(levels_for(N, W), jnp.zeros((B, Q), jnp.uint32)),
+            lambda: _open_paths_v(levels_for(1 << l, 0),
+                                  jnp.zeros((B, Q), jnp.uint32)),
+        ]
+        for log_folded, (rows_v, step_v) in self._folds.items():
+            m = 1 << log_folded
+            calls.append(lambda f=rows_v, mm=m: f(ze((B, 2 * mm))))
+            calls.append(lambda f=step_v, mm=m: f(ze((B, mm)), ze((B, mm)),
+                                                  ze((B,))))
+            calls.append(lambda mm=m: self._tree(z((B, mm, 4))))
+            calls.append(lambda mm=m: _open_paths_v(
+                levels_for(mm, 0), jnp.zeros((B, Q), jnp.uint32)))
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(lambda c: jax.block_until_ready(c()), calls))
+
     def prove(self, traces: List[List[List[int]]]) -> List[Proof]:
         """traces: B row-major traces of identical shape -> B proofs,
         each identical to what TpuProver.prove would produce."""
@@ -241,12 +300,16 @@ _batch_prover_cache: Dict = {}
 
 
 def prove_batch_on_device(air: Air, traces: List[List[List[int]]],
-                          fri_config: FriConfig) -> List[Proof]:
+                          fri_config: FriConfig, warmup: bool = True) -> List[Proof]:
     log_n = log2_strict(len(traces[0]))
     key = (air.name(), air.width(), log_n, fri_config.log_blowup,
            fri_config.num_queries, fri_config.proof_of_work_bits)
     p = _batch_prover_cache.get(key)
     if p is None:
         p = BatchProver(air, log_n, fri_config)
+        # concurrent warmup only pays where compiles go to the remote TPU
+        # service; on CPU the thread pool just serializes on one core
+        if warmup and jax.default_backend() == "tpu":
+            p.warmup(len(traces))
         _batch_prover_cache[key] = p
     return p.prove(traces)

@@ -528,7 +528,9 @@ def prove_on_device(air: Air, trace_rows: List[List[int]],
     p = _prover_cache.get(key)
     if p is None:
         p = TpuProver(air, log_n, fri_config)
-        if warmup:
+        # concurrent warmup only pays where compiles go to the remote TPU
+        # service; on CPU the thread pool just serializes on one core
+        if warmup and jax.default_backend() == "tpu":
             p.warmup()
         _prover_cache[key] = p
     return p.prove(trace_rows)
