@@ -41,7 +41,7 @@ from ..proof import (
 )
 from ..utils.bits import log2_strict
 from .device_challenger import DeviceChallenger
-from .prove import TpuProver, _ext_pull
+from .prove import TpuProver
 
 
 @jax.jit
@@ -227,7 +227,6 @@ class BatchProver:
         qc_h = (np.asarray(gl.to_u64(qc.c0)), np.asarray(gl.to_u64(qc.c1)))
         fp_h = (np.asarray(gl.to_u64(u.c0[:, 0])), np.asarray(gl.to_u64(u.c1[:, 0])))
         wit_h = np.asarray(wit)
-        qidx_h = np.asarray(qidx)
 
         D = EXT_DEGREE
         proofs = []
@@ -292,7 +291,6 @@ class BatchProver:
                 ),
                 degree_bits=b.log_n,
             ))
-        _ = qidx_h  # indices are implicit in the paths; kept for debugging
         return proofs
 
 
