@@ -137,9 +137,16 @@ class BatchProver:
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             list(ex.map(lambda c: jax.block_until_ready(c()), calls))
 
-    def prove(self, traces: List[List[List[int]]]) -> List[Proof]:
+    def prove(self, traces: List[List[List[int]]], mesh=None) -> List[Proof]:
         """traces: B row-major traces of identical shape -> B proofs,
-        each identical to what TpuProver.prove would produce."""
+        each identical to what TpuProver.prove would produce.
+
+        With `mesh` (a 1-D jax.sharding.Mesh), the proof axis is sharded
+        over its devices — data-parallel proving: proofs are mutually
+        independent, so placing the input columns sharded makes the XLA
+        partitioner run every stage (LDE commits, trees, transcript
+        duplexes, grind, fold) without any cross-device communication;
+        only the grind's found-all check and final assembly reduce/pull."""
         b = self.base
         fc = b.fc
         B = len(traces)
@@ -149,6 +156,16 @@ class BatchProver:
 
         cols = gl.from_u64(
             np.transpose(np.asarray(traces, dtype=object), (0, 2, 1)))  # (B,W,H)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            axis = mesh.axis_names[0]
+            assert B % int(np.prod(mesh.devices.shape)) == 0, (
+                "batch must be a multiple of the mesh size")
+            sh = NamedSharding(mesh, Pspec(axis, None, None))
+            cols = GL(jax.device_put(cols.lo, sh), jax.device_put(cols.hi, sh))
+            ch.state = GL(*(jax.device_put(a, NamedSharding(mesh, Pspec(axis, None)))
+                            for a in ch.state))
 
         trace_rows = self._c_trace(cols)                       # (B, N, W)
         trace_levels = self._tree(trace_rows)

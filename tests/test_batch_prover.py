@@ -41,3 +41,15 @@ def test_batch_proofs_independent(golden_proof):
     assert not _deep_eq(proofs[1], golden_proof)
     assert bool(np.asarray(verify_proof(proofs[0], FibonacciAir(), FC).ok))
     assert not bool(np.asarray(verify_proof(proofs[1], FibonacciAir(), FC).ok))
+
+
+def test_batch_proving_sharded_over_mesh(golden_proof):
+    """Data-parallel proving: proof axis sharded over the virtual 8-device
+    mesh; every lane's proof still bit-equals the sequential output."""
+    from plonky25_tpu.parallel import make_mesh
+    from plonky25_tpu.prover.batch_prove import BatchProver
+
+    mesh = make_mesh(8)
+    bp = BatchProver(FibonacciAir(), 6, FC)
+    proofs = bp.prove([fibonacci_trace(64)] * 8, mesh=mesh)
+    assert all(_deep_eq(p, golden_proof) for p in proofs)
