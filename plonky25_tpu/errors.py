@@ -32,38 +32,110 @@ class InvalidPowWitness(FriError):
     VerifyResult.pow_ok instead."""
 
 
-def check_proof_shape(proof, config) -> None:
-    """Raise InvalidProofShape unless `proof` matches `config`.
+def _want(cond: bool, msg: str) -> None:
+    if not cond:
+        raise InvalidProofShape(msg)
 
-    Mirrors the reference's shape validation: the panic block at
-    verifier.rs:126-133 (opened-value widths vs. AIR/quotient shape) and
-    the typed query-count check at verifier.rs:372-374."""
-    from .constants import EXT_DEGREE
+
+def check_proof_shape(proof, config) -> None:
+    """Raise InvalidProofShape unless `proof` matches `config` EXHAUSTIVELY.
+
+    Mirrors and extends the reference's shape validation — the panic block
+    at verifier.rs:126-133 (opened-value widths vs. AIR/quotient shape) and
+    the typed query-count check at verifier.rs:372-374 — to every structure
+    the witness packer and the device stages rely on: digest lengths,
+    commit-phase count vs degree_bits, Merkle path depths per batch and per
+    fold level, sibling-value and final-poly arity.  A proof that passes
+    this check cannot crash pack_witness; any deeper disagreement is a
+    VALUE problem and becomes a False verdict, never an exception."""
+    from .constants import DIGEST_ELEMS, EXT_DEGREE
 
     ov = proof.opened_values
+    op = proof.opening_proof
+    fp = op.fri_proof
     fc = config.fri_config
-    q = len(proof.opening_proof.fri_proof.query_proofs)
-    if q != fc.num_queries:
-        raise InvalidProofShape(
-            f"proof has {q} query proofs, config expects {fc.num_queries}")
-    if len(ov.trace_local) != config.trace_width:
-        raise InvalidProofShape(
-            f"trace_local width {len(ov.trace_local)} != AIR width "
-            f"{config.trace_width}")
-    if len(ov.trace_next) != config.trace_width:
-        raise InvalidProofShape(
-            f"trace_next width {len(ov.trace_next)} != AIR width "
-            f"{config.trace_width}")
-    if len(ov.quotient_chunks) != 1 << config.log_quotient_degree:
-        raise InvalidProofShape(
-            f"{len(ov.quotient_chunks)} quotient chunks, expected "
-            f"{1 << config.log_quotient_degree}")
+
+    # ---- top-level counts (verifier.rs:126-133, 372-374)
+    q = len(fp.query_proofs)
+    _want(q == fc.num_queries,
+          f"proof has {q} query proofs, config expects {fc.num_queries}")
+    _want(len(op.query_openings) == fc.num_queries,
+          f"{len(op.query_openings)} query openings, "
+          f"expected {fc.num_queries}")
+    _want(len(ov.trace_local) == config.trace_width,
+          f"trace_local width {len(ov.trace_local)} != AIR width "
+          f"{config.trace_width}")
+    _want(len(ov.trace_next) == config.trace_width,
+          f"trace_next width {len(ov.trace_next)} != AIR width "
+          f"{config.trace_width}")
+    n_chunks = 1 << config.log_quotient_degree
+    _want(len(ov.quotient_chunks) == n_chunks,
+          f"{len(ov.quotient_chunks)} quotient chunks, expected {n_chunks}")
     for i, qc in enumerate(ov.quotient_chunks):
-        if len(qc) != EXT_DEGREE:
-            raise InvalidProofShape(
-                f"quotient chunk {i} has {len(qc)} values, expected "
-                f"{EXT_DEGREE}")
-    if len(proof.opening_proof.query_openings) != fc.num_queries:
-        raise InvalidProofShape(
-            f"{len(proof.opening_proof.query_openings)} query openings, "
-            f"expected {fc.num_queries}")
+        _want(len(qc) == EXT_DEGREE,
+              f"quotient chunk {i} has {len(qc)} values, expected "
+              f"{EXT_DEGREE}")
+
+    # ---- commitments: 4-element digests everywhere
+    _want(len(proof.commitments.trace.value) == DIGEST_ELEMS,
+          "trace commitment is not a 4-element digest")
+    _want(len(proof.commitments.quotient_chunks.value) == DIGEST_ELEMS,
+          "quotient commitment is not a 4-element digest")
+    for i, c in enumerate(fp.commit_phase_commits):
+        _want(len(c.value) == DIGEST_ELEMS,
+              f"commit-phase commitment {i} is not a 4-element digest")
+
+    # ---- commit-phase count: FRI folds log_max -> log_blowup, one phase
+    # per trace-height bit, so n_phases must equal degree_bits
+    n_phases = len(fp.commit_phase_commits)
+    _want(n_phases == proof.degree_bits,
+          f"{n_phases} commit-phase commitments but degree_bits="
+          f"{proof.degree_bits}")
+    _want(config.log_trace_height == n_phases,
+          f"config.log_trace_height {config.log_trace_height} != "
+          f"{n_phases} commit phases")
+    log_max = proof.degree_bits + fc.log_blowup
+    _want(config.opening_matrix_log_max_height == log_max,
+          f"opening path depth {config.opening_matrix_log_max_height} != "
+          f"degree_bits + log_blowup = {log_max}")
+    _want(0 < log_max <= 32, f"log_max_height {log_max} out of range")
+    _want(len(fp.final_poly) == EXT_DEGREE,
+          "final_poly is not an extension element")
+
+    # ---- per-query batch openings: [trace, quotient], rectangular
+    for qi, batches in enumerate(op.query_openings):
+        _want(len(batches) == 2,
+              f"query {qi} has {len(batches)} batch openings, expected 2")
+        tb, qb = batches
+        _want(len(tb.opened_values) == 1
+              and len(tb.opened_values[0]) == config.trace_width,
+              f"query {qi} trace batch rows/width mismatch")
+        _want(len(qb.opened_values) == n_chunks
+              and all(len(r) == EXT_DEGREE for r in qb.opened_values),
+              f"query {qi} quotient batch rows/width mismatch")
+        for b, batch in ((0, tb), (1, qb)):
+            _want(len(batch.opening_proof) == log_max,
+                  f"query {qi} batch {b} path depth "
+                  f"{len(batch.opening_proof)} != {log_max}")
+            for sib in batch.opening_proof:
+                _want(len(sib) == DIGEST_ELEMS,
+                      f"query {qi} batch {b} has a non-4-element "
+                      "path sibling")
+
+    # ---- per-query fold openings: shrinking depths, ext siblings
+    for qi, qp in enumerate(fp.query_proofs):
+        _want(len(qp.commit_phase_openings) == n_phases,
+              f"query {qi} has {len(qp.commit_phase_openings)} fold "
+              f"openings, expected {n_phases}")
+        for l, step in enumerate(qp.commit_phase_openings):
+            _want(len(step.sibling_value) == EXT_DEGREE,
+                  f"query {qi} level {l} sibling_value is not an "
+                  "extension element")
+            want_depth = n_phases - l
+            _want(len(step.opening_proof) == want_depth,
+                  f"query {qi} level {l} fold path depth "
+                  f"{len(step.opening_proof)} != {want_depth}")
+            for sib in step.opening_proof:
+                _want(len(sib) == DIGEST_ELEMS,
+                      f"query {qi} level {l} has a non-4-element "
+                      "path sibling")

@@ -142,19 +142,27 @@ def poseidon2_permute(state: GL) -> GL:
 poseidon2_permute_jit = poseidon2_permute
 
 
+# Read once at import: poseidon2_permute_auto is called at TRACE time inside
+# jitted callers (e.g. ops.mmcs._build_tree), so a call-time environ read
+# would be silently frozen by the jit cache after the first compile per
+# shape.  The escape hatch is therefore process-start-only, and documented
+# as such.
+import os as _os
+
+PALLAS_DISABLED = bool(_os.environ.get("P25_DISABLE_PALLAS"))
+
+
 def poseidon2_permute_auto(state: GL) -> GL:
     """Backend-aware dispatch: the fused Pallas kernel on TPU for real
     batches, the scan-based jnp path otherwise (CPU tests, tiny batches,
-    or P25_DISABLE_PALLAS=1).
+    or P25_DISABLE_PALLAS=1 — read at process start, see PALLAS_DISABLED).
 
     Used by batch-hash call sites with concrete (non-vmapped) shapes — the
     prover's Merkle tree construction is the main one."""
-    import os
-
     b = 1
     for d in state.shape[:-1]:
         b *= int(d)
-    if (not os.environ.get("P25_DISABLE_PALLAS")
+    if (not PALLAS_DISABLED
             and b >= 128 and jax.default_backend() == "tpu"):
         from .pallas import poseidon2_permute_pallas
         return poseidon2_permute_pallas(state)

@@ -57,6 +57,19 @@ def add_many_u32(xs):
     return total, carry
 
 
+def add_u32s_with_carry(to_add, carry):
+    """Sum of u32 values plus an input carry -> (result u32, carry_out u32)
+    (arithmetic_u32.rs:213-239: one U32AddManyGate with a carry input; the
+    output carry counts 2^32 wraps, up to ~4 bits for 24 addends)."""
+    total, c = add_many_u32(list(to_add) + [carry])
+    return total, c
+
+
+def select_u32(b, x, y):
+    """b ? x : y (arithmetic_u32.rs:266-268)."""
+    return jnp.where(jnp.asarray(b, bool), _u(x), _u(y))
+
+
 def sub_u32(x, y, borrow=0):
     """x - y - borrow -> (result u32, borrow_out in {0,1})
     (U32SubtractionGate, subtraction_u32.rs)."""
@@ -195,6 +208,29 @@ def uninterleave_to_u32(d):
     x_xor = collect(lo) | (collect(hi) << 16)
     x_and = collect(_u(lo) >> 1) | (collect(_u(hi) >> 1) << 16)
     return x_and, x_xor
+
+
+def unsafe_xor_many_u32(xs):
+    """Multi-input XOR (interleaved_u32.rs:157-191).
+
+    The reference computes this through sums of interleaved values and
+    documents a soundness caveat: three-plus interleaved addends can exceed
+    the Goldilocks modulus and alias a wrong XOR (e.g. 0xffffffff^3 ->
+    0x0000fffe).  On TPU the op is a native xor-reduce, so the caveat
+    VANISHES — the 'unsafe_' name is kept for API parity only."""
+    if len(xs) == 0:
+        return jnp.uint32(0)
+    acc = _u(xs[0])
+    for x in xs[1:]:
+        acc = acc ^ _u(x)
+    return acc
+
+
+def unsafe_xor_many_u64(xs):
+    """Multi-input XOR on (lo, hi) u64 pairs (interleaved_u32.rs:237-250);
+    native per-limb xor-reduce here (same safety note as the u32 form)."""
+    return (unsafe_xor_many_u32([a[0] for a in xs]),
+            unsafe_xor_many_u32([a[1] for a in xs]))
 
 
 def and_xor_u32(x, y):

@@ -66,6 +66,14 @@ def make_host_mesh(n_query: Optional[int] = None, devices=None) -> Mesh:
         devices = jax.devices()
     if n_query is None:
         n_query = min(jax.local_device_count(), len(devices))
+    if not (0 < n_query <= len(devices)):
+        raise ValueError(
+            f"n_query={n_query} must be in [1, {len(devices)}] "
+            f"(total devices available)")
+    if len(devices) % n_query:
+        raise ValueError(
+            f"n_query={n_query} must divide the device count "
+            f"{len(devices)} evenly")
     n_batch = len(devices) // n_query
     arr = np.asarray(devices[: n_batch * n_query]).reshape(n_batch, n_query)
     return Mesh(arr, ("b", "q"))

@@ -125,6 +125,18 @@ def _commitment(node) -> Commitment:
 
 
 def proof_from_json(obj: dict) -> Proof:
+    """Parse the reference JSON schema; malformed trees raise the typed
+    InvalidProofShape instead of accidental KeyError/IndexError (the
+    fail-closed contract in errors.py)."""
+    try:
+        return _proof_from_json(obj)
+    except (KeyError, IndexError, TypeError, ValueError) as e:
+        from .errors import InvalidProofShape
+
+        raise InvalidProofShape(f"malformed proof JSON: {type(e).__name__} {e}")
+
+
+def _proof_from_json(obj: dict) -> Proof:
     ov = obj["opened_values"]
     op = obj["opening_proof"]
     fp = op["fri_proof"]
@@ -256,17 +268,28 @@ def save_proof(proof: Proof, path: str) -> None:
 
 
 def derive_config(proof: Proof, fri_config: FriConfig) -> P3Config:
-    """Shape-derived config, exactly as p3/mod.rs:74-87."""
-    return P3Config(
-        fri_config=fri_config,
-        log_quotient_degree=log2_ceil(len(proof.opened_values.quotient_chunks)),
-        log_trace_height=len(proof.opening_proof.fri_proof.commit_phase_commits),
-        trace_width=len(proof.opened_values.trace_local),
-        opening_matrix_log_max_height=len(
-            proof.opening_proof.query_openings[0][0].opening_proof
-        ),
-        quotient_opened_values_len=len(
-            proof.opening_proof.query_openings[0][1].opened_values[0]
-        ),
-        degree_bits=proof.degree_bits,
-    )
+    """Shape-derived config, exactly as p3/mod.rs:74-87.
+
+    A proof missing the structure the derivation indexes into (no query
+    openings, no batches, empty rows) raises InvalidProofShape rather than
+    an accidental IndexError — shape failures must stay on the typed path
+    (errors.py's fail-closed contract)."""
+    from .errors import InvalidProofShape
+
+    try:
+        return P3Config(
+            fri_config=fri_config,
+            log_quotient_degree=log2_ceil(len(proof.opened_values.quotient_chunks)),
+            log_trace_height=len(proof.opening_proof.fri_proof.commit_phase_commits),
+            trace_width=len(proof.opened_values.trace_local),
+            opening_matrix_log_max_height=len(
+                proof.opening_proof.query_openings[0][0].opening_proof
+            ),
+            quotient_opened_values_len=len(
+                proof.opening_proof.query_openings[0][1].opened_values[0]
+            ),
+            degree_bits=proof.degree_bits,
+        )
+    except (IndexError, TypeError) as e:
+        raise InvalidProofShape(
+            f"proof lacks the structure config derivation needs: {e}")

@@ -77,6 +77,7 @@ class BatchProver:
             rows_fn, step_fn = b._fold_phase_raw(log_folded)
             self._folds[log_folded] = (jax.jit(jax.vmap(rows_fn)),
                                        jax.jit(jax.vmap(step_fn)))
+        self._warmed_batch_sizes = set()
 
     def warmup(self, n_proofs: int, max_workers: int = 8) -> None:
         """Compile all vmapped modules for a batch of n_proofs concurrently
@@ -100,7 +101,7 @@ class BatchProver:
         def ze(shape):
             return GL2(z(shape), z(shape))
 
-        def levels_for(n0, width):
+        def levels_for(n0):
             levels = []
             k = n0
             while True:
@@ -121,8 +122,8 @@ class BatchProver:
             lambda: self._grind_v(z((B, 11)), jnp.uint32(0)),
             lambda: self._tree(z((B, N, W))),
             lambda: self._tree(z((B, 1 << l, b.n_chunks * EXT_DEGREE))),
-            lambda: _open_paths_v(levels_for(N, W), jnp.zeros((B, Q), jnp.uint32)),
-            lambda: _open_paths_v(levels_for(1 << l, 0),
+            lambda: _open_paths_v(levels_for(N), jnp.zeros((B, Q), jnp.uint32)),
+            lambda: _open_paths_v(levels_for(1 << l),
                                   jnp.zeros((B, Q), jnp.uint32)),
         ]
         for log_folded, (rows_v, step_v) in self._folds.items():
@@ -132,10 +133,11 @@ class BatchProver:
                                                   ze((B,))))
             calls.append(lambda mm=m: self._tree(z((B, mm, 4))))
             calls.append(lambda mm=m: _open_paths_v(
-                levels_for(mm, 0), jnp.zeros((B, Q), jnp.uint32)))
+                levels_for(mm), jnp.zeros((B, Q), jnp.uint32)))
 
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             list(ex.map(lambda c: jax.block_until_ready(c()), calls))
+        self._warmed_batch_sizes.add(B)
 
     def prove(self, traces: List[List[List[int]]], mesh=None) -> List[Proof]:
         """traces: B row-major traces of identical shape -> B proofs,
@@ -322,9 +324,11 @@ def prove_batch_on_device(air: Air, traces: List[List[List[int]]],
     p = _batch_prover_cache.get(key)
     if p is None:
         p = BatchProver(air, log_n, fri_config)
-        # concurrent warmup only pays where compiles go to the remote TPU
-        # service; on CPU the thread pool just serializes on one core
-        if warmup and jax.default_backend() == "tpu":
-            p.warmup(len(traces))
         _batch_prover_cache[key] = p
+    # concurrent warmup only pays where compiles go to the remote TPU
+    # service; on CPU the thread pool just serializes on one core.  Keyed
+    # on the batch size: vmapped modules recompile per B.
+    if (warmup and jax.default_backend() == "tpu"
+            and len(traces) not in p._warmed_batch_sizes):
+        p.warmup(len(traces))
     return p.prove(traces)

@@ -550,8 +550,27 @@ def get_verifier(air: Air, config: P3Config) -> TpuVerifier:
     return v
 
 
+def _shape_fail() -> VerifyResult:
+    f = jnp.asarray(False)
+    return VerifyResult(ok=f, pow_ok=f, merkle_ok=f, fold_ok=f,
+                        quotient_ok=f, shape_ok=False)
+
+
 def verify_proof(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyResult:
     """One-call API mirroring CircuitBuilder::p3_verify_proof (p3/mod.rs:66-94):
-    config is derived from the proof's own shape."""
-    config = derive_config(proof, fri_config)
+    config is derived from the proof's own shape.
+
+    Fail-closed on malformed proofs: the exhaustive shape check runs BEFORE
+    the shape-specialized verifier is even constructed, so a damaged proof
+    can only yield shape_ok=False — it cannot crash specialization or
+    witness packing (tests/test_errors_profiling.py structural fuzz)."""
+    from .errors import InvalidProofShape, check_proof_shape
+
+    try:
+        config = derive_config(proof, fri_config)
+        check_proof_shape(proof, config)
+    except InvalidProofShape:
+        return _shape_fail()
+    if len(proof.opened_values.trace_local) != air.width():
+        return _shape_fail()
     return get_verifier(air, config).verify(proof)

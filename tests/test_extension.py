@@ -67,3 +67,51 @@ def test_two_adic_generator_int():
         assert g == Gl.two_adic_generator(bits)
         assert pow(g, 1 << bits, P) == 1
         assert pow(g, 1 << (bits - 1), P) != 1
+
+
+# ---------------------------------------------------------------- degree 3
+# API-parity cubic extension (extension.rs:330-390 mul, :473-532 inverse).
+
+def _gl3_mul_int(a, b):
+    """Schoolbook GF(p^3) = GF(p)[X]/(X^3-7) product on int triples."""
+    W = 7
+    c = [0, 0, 0, 0, 0]
+    for i in range(3):
+        for j in range(3):
+            c[i + j] = (c[i + j] + a[i] * b[j]) % P
+    return ((c[0] + W * c[3]) % P, (c[1] + W * c[4]) % P, c[2] % P)
+
+
+def test_w_is_not_a_cube():
+    # X^3 - 7 is irreducible over Goldilocks iff 7 is a non-cube
+    assert pow(7, (P - 1) // 3, P) != 1
+
+
+def test_gl3_mul_matches_schoolbook():
+    from plonky25_tpu.fields import extension3 as gl3
+
+    rng = random.Random(31337)
+    triples = [
+        (tuple(rng.randrange(P) for _ in range(3)),
+         tuple(rng.randrange(P) for _ in range(3)))
+        for _ in range(64)
+    ]
+    triples += [(((P - 1),) * 3, ((P - 1),) * 3), ((0, 0, 1), (0, 0, 1))]
+    X = gl3.from_u64_triple(*[[t[0][i] for t in triples] for i in range(3)])
+    Y = gl3.from_u64_triple(*[[t[1][i] for t in triples] for i in range(3)])
+    got = gl3.to_u64_triple(gl3.mul(X, Y))
+    for k, (a, b) in enumerate(triples):
+        want = _gl3_mul_int(a, b)
+        assert (int(got[0][k]), int(got[1][k]), int(got[2][k])) == want
+
+
+def test_gl3_inv_roundtrip():
+    from plonky25_tpu.fields import extension3 as gl3
+
+    rng = random.Random(90210)
+    triples = [tuple(rng.randrange(P) for _ in range(3)) for _ in range(64)]
+    triples += [(1, 0, 0), (0, 1, 0), (0, 0, 1), (P - 1, P - 1, P - 1)]
+    X = gl3.from_u64_triple(*[[t[i] for t in triples] for i in range(3)])
+    prod = gl3.to_u64_triple(gl3.mul(gl3.inv(X), X))
+    for k in range(len(triples)):
+        assert (int(prod[0][k]), int(prod[1][k]), int(prod[2][k])) == (1, 0, 0)

@@ -18,6 +18,11 @@ from plonky25_tpu.refimpl.keccak import keccak_f_flat
 
 FC = FriConfig(log_blowup=1, num_queries=20, proof_of_work_bits=8)
 
+# The python-int keccak prover fixture alone takes minutes on one CPU;
+# everything downstream of it lives in the slow tier.  The kernel KATs
+# above the fixture stay in the default tier.
+slow = pytest.mark.slow
+
 
 def test_keccak_f_zero_kat():
     out = keccak_f_flat([0] * 25)
@@ -58,12 +63,14 @@ def keccak_proof():
     return prove(KeccakAir(), rows, FC)
 
 
+@slow
 def test_keccak_proof_shape(keccak_proof):
     # degree 3 constraints -> 2 quotient chunks
     assert len(keccak_proof.opened_values.quotient_chunks) == 2
     assert len(keccak_proof.opened_values.trace_local) == NUM_KECCAK_COLS
 
 
+@slow
 def test_keccak_refimpl_verify(keccak_proof):
     from plonky25_tpu.refimpl.verifier import verify
 
@@ -71,6 +78,7 @@ def test_keccak_refimpl_verify(keccak_proof):
     assert tr.ok
 
 
+@slow
 def test_keccak_jax_verify(keccak_proof):
     from plonky25_tpu.verifier import verify_proof
 
@@ -78,6 +86,7 @@ def test_keccak_jax_verify(keccak_proof):
     assert bool(np.asarray(r.ok))
 
 
+@slow
 def test_keccak_tampered_rejected(keccak_proof):
     import copy
 

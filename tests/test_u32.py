@@ -158,3 +158,52 @@ def test_interleave_roundtrip(rng):
         for i in range(32):
             got |= ((s >> (2 * i)) & 1) << i
         assert got == x
+
+
+def test_add_u32s_with_carry(rng):
+    """arithmetic_u32.rs:213-239 semantics: sum + input carry, multi-bit
+    output carry."""
+    for n in (1, 2, 5, 24):
+        xs = [_r32(rng, 8) for _ in range(n)]
+        carry = _r32(rng, 8)
+        res, cout = u.add_u32s_with_carry(
+            [jnp.asarray(x, jnp.uint32) for x in xs],
+            jnp.asarray(carry, jnp.uint32))
+        for k in range(8):
+            total = sum(x[k] for x in xs) + carry[k]
+            assert int(res[k]) == total % (1 << 32)
+            assert int(cout[k]) == total >> 32
+
+
+def test_select_u32(rng):
+    xs, ys = _r32(rng, 16), _r32(rng, 16)
+    bs = [rng.randrange(2) for _ in range(16)]
+    got = u.select_u32(jnp.asarray(bs, bool),
+                       jnp.asarray(xs, jnp.uint32), jnp.asarray(ys, jnp.uint32))
+    assert [int(v) for v in got] == [x if b else y
+                                     for b, x, y in zip(bs, xs, ys)]
+
+
+def test_unsafe_xor_many(rng):
+    """interleaved_u32.rs:157-236 semantics — including the reference's own
+    documented failure case (three 0xffffffff inputs alias to 0x0000fffe in
+    the circuit); the native TPU op is exact, so we assert the TRUE xor."""
+    for n in (0, 1, 2, 3, 4, 7, 12):
+        xs = [_r32(rng, 8) for _ in range(n)]
+        got = u.unsafe_xor_many_u32([jnp.asarray(x, jnp.uint32) for x in xs])
+        if n == 0:
+            assert int(got) == 0
+            continue
+        for k in range(8):
+            want = 0
+            for x in xs:
+                want ^= x[k]
+            assert int(got[k]) == want
+    # the adversarial case from interleaved_u32.rs:147-156: exact here
+    trip = [jnp.full((1,), 0xFFFFFFFF, jnp.uint32)] * 3
+    assert int(u.unsafe_xor_many_u32(trip)[0]) == 0xFFFFFFFF
+
+    lo = u.unsafe_xor_many_u64(
+        [(jnp.asarray([3], jnp.uint32), jnp.asarray([5], jnp.uint32)),
+         (jnp.asarray([6], jnp.uint32), jnp.asarray([9], jnp.uint32))])
+    assert (int(lo[0][0]), int(lo[1][0])) == (5, 12)
