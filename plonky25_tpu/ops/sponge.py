@@ -109,12 +109,63 @@ def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None,
 def verify_batch_single(commit: GL, leaf_rows: GL, index, siblings: GL,
                         valid=None, permute=poseidon2_permute):
     """verify_batch for a batch whose matrices all live at the tallest
-    height (the only case the fibonacci workload exercises; the general
-    multi-height fold-in is built in plonky25_tpu.commit).
+    height (the case the fibonacci workload exercises; the general
+    multi-height fold-in is `verify_batch` below).
 
     commit: GL (4,); leaf_rows: GL (Q, L); index (Q,); siblings (Q, D, 4).
     Returns ok: bool (Q,)."""
     digest = hash_rows(leaf_rows, permute)
     root, _ = merkle_path(digest, index, siblings, valid, permute)
+    want = gl.broadcast_to(commit, root.shape)
+    return jnp.all(gl.eq(root, want), axis=-1)
+
+
+def verify_batch(commit: GL, group_rows, group_log_heights, index,
+                 siblings: GL, permute=poseidon2_permute):
+    """General multi-height MMCS verify_batch (commit.rs:62-129), batched
+    over a query axis.
+
+    The reference walks the path from the tallest matrices' leaves and,
+    whenever the climbing node reaches a shorter group's padded height,
+    folds that group's leaf digest in with one extra compress
+    (commit.rs:105-123).  Which levels fold which groups is a pure
+    function of the matrix dimensions, so on TPU the path becomes a
+    STATIC schedule: scan the sibling levels in segments between fold-in
+    events, with one eager compress per event — the traced graph holds
+    one compress body per segment plus one per event, never per level.
+
+    commit: GL (4,).
+    group_rows: per height group (tallest first), the concatenation of the
+        group's matrices' opened rows — GL (Q, L_g).  Matrices whose
+        padded heights are equal must be pre-merged into one group, in
+        batch order (matching the reference's tallest-first stable sort
+        and its exact-height fold grouping, commit.rs:72-76, 114-117).
+    group_log_heights: static padded log-heights per group, strictly
+        decreasing; group 0's equals the path depth.
+    index: uint32 (Q,); siblings: GL (Q, D, 4).
+    Returns ok: bool (Q,)."""
+    D = siblings.shape[-2]
+    lh0 = group_log_heights[0]
+    assert lh0 == D, f"path depth {D} != tallest log height {lh0}"
+    assert list(group_log_heights) == sorted(group_log_heights, reverse=True)
+    assert len(set(group_log_heights)) == len(group_log_heights), (
+        "equal-padded-height matrices must be merged into one group")
+
+    digests = [hash_rows(r, permute) for r in group_rows]
+    # group g folds in after compress #(lh0 - lh_g) (commit.rs:107-117)
+    fold_at = {lh0 - lh: gi
+               for gi, lh in enumerate(group_log_heights[1:], start=1)}
+    root = digests[0]
+    idx = jnp.asarray(index, jnp.uint32)
+    t0 = 0
+    for t in sorted(set(fold_at) | {D}):
+        if t > t0:
+            root, idx = merkle_path(
+                root, idx,
+                GL(siblings.lo[..., t0:t, :], siblings.hi[..., t0:t, :]),
+                permute=permute)
+        if t in fold_at:
+            root = compress(root, digests[fold_at[t]], permute)
+        t0 = t
     want = gl.broadcast_to(commit, root.shape)
     return jnp.all(gl.eq(root, want), axis=-1)

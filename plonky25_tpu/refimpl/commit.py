@@ -30,6 +30,61 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def build_mmcs_tree(matrices):
+    """Build a mixed-height MMCS Merkle tree (the commitment scheme
+    verify_batch checks, commit.rs:62-129, mirrored from the prover side).
+
+    matrices: list of row-major matrices (lists of rows of ints); heights
+    must be powers of two.  Returns (root, levels) where levels[t] is the
+    list of tree nodes after t compress steps (each POST fold-in, which is
+    what the opening paths reference).
+
+    Matrices are consumed tallest-first (stable): the tallest group's rows
+    are the leaves; as the tree climbs past a shorter group's height, each
+    node absorbs that group's row digest via one extra compress."""
+    order = sorted(range(len(matrices)), key=lambda i: -len(matrices[i]))
+    tallest = len(matrices[order[0]])
+    assert tallest & (tallest - 1) == 0, "heights must be powers of two"
+    by_height = {}
+    for i in order:
+        by_height.setdefault(len(matrices[i]), []).append(i)
+
+    nodes = [
+        hash_iter_slices([matrices[i][r] for i in by_height[tallest]])
+        for r in range(tallest)
+    ]
+    levels = [list(nodes)]
+    h = tallest
+    while h > 1:
+        nodes = [compress(nodes[2 * j], nodes[2 * j + 1])
+                 for j in range(h // 2)]
+        h //= 2
+        if h in by_height and h != tallest:
+            nodes = [
+                compress(nodes[j],
+                         hash_iter_slices([matrices[i][j]
+                                           for i in by_height[h]]))
+                for j in range(h)
+            ]
+        levels.append(list(nodes))
+    return nodes[0], levels
+
+
+def open_mmcs(matrices, levels, index):
+    """Opening for `index` against a tree from build_mmcs_tree: per-matrix
+    opened rows (row index >> height difference) and the sibling path."""
+    tallest = max(len(m) for m in matrices)
+    log_t = tallest.bit_length() - 1
+    opened = [m[index >> (log_t - (len(m).bit_length() - 1))]
+              for m in matrices]
+    proof = []
+    idx = index
+    for t in range(log_t):
+        proof.append(list(levels[t][idx ^ 1]))
+        idx >>= 1
+    return opened, proof
+
+
 def verify_batch(commit, dimensions, index, opened_values, proof):
     """Batched Merkle-path check (commit.rs:62-129).
 
