@@ -24,17 +24,31 @@ class Air:
     def eval(self, folder: "VerifierConstraintFolder") -> None:
         raise NotImplementedError
 
+    def public_values(self) -> dict:
+        """Named public scalars (host ints) the constraints may reference.
+
+        Prover/verifier call sites convert these to backend values and hand
+        them to the folder as `publics` — RUNTIME inputs on the device
+        path, so two instances of the same AIR with different publics share
+        one compiled module (the attestation HashChainAir relies on this).
+        The reference has no public-values channel (its verifier circuit
+        wires everything through witness targets); this is a framework
+        extension."""
+        return {}
+
 
 class VerifierConstraintFolder:
     """air.rs:20-27 plus the builder methods at air.rs:34-92."""
 
-    def __init__(self, ops, main, is_first_row, is_last_row, is_transition, alpha):
+    def __init__(self, ops, main, is_first_row, is_last_row, is_transition,
+                 alpha, publics=None):
         self.ops = ops
         self.main = main              # has .trace_local / .trace_next / .quotient_chunks
         self.is_first_row = is_first_row
         self.is_last_row = is_last_row
         self.is_transition = is_transition
         self.alpha = alpha
+        self.publics = publics or {}  # backend ext scalars by name
         # Constraints are recorded and folded at the end: backends may fold
         # them with a scan instead of a long dependent op chain (the chain
         # form makes XLA compile time blow up superlinearly).

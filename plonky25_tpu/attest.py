@@ -1,0 +1,481 @@
+"""Recursive attestation: a STARK proving "this Plonky3 proof verified".
+
+The TPU-native analogue of the reference's whole purpose — building a
+plonky2 circuit that re-executes Plonky3 verification and proving it
+(`p3_verify_proof` + `data.prove`, /root/reference/src/p3/mod.rs:66-94,261).
+There, every verification step becomes circuit constraints; here, the
+hash-dominated 95+% of verification (the Fiat-Shamir transcript, every
+Merkle batch opening, every FRI fold-level opening — ~2.3k Poseidon2
+permutations for the golden fib(64) proof) becomes rows of a HashChainAir
+trace proved by the framework's own TpuProver, and the cheap residue (the
+reduced-opening / fold interpolation / quotient algebra — pure field ops,
+no hashing) is re-executed by the attestation checker.
+
+## Protocol
+
+attest(proof, air, fc) -> AttestationBundle:
+  1. Run the reference verification (int oracle, instrumented).  Refuse
+     to attest unless it accepts.
+  2. Lay out one trace row per Poseidon2 permutation, in canonical order:
+     transcript duplexes, then per query (trace batch leaf+path, quotient
+     batch leaf+path, then per fold level leaf+path).  Chain columns (m,
+     mo, b, selectors) mark which input lanes carry FRESH data (absorbed)
+     and which output lanes are EXPOSED (sampled challenges, Merkle roots).
+  3. Two running accumulators bind the data:
+         acc  = fold over active rows of sum_j m_j * in_j * gamma^j
+         acco = fold over active rows of sum_j mo_j * out_j * gamma^j
+     for two independent gammas derived by hashing the canonical
+     absorbed+exposed sequence.  Their final values are public.
+  4. Prove HashChainAir over the trace; bundle {stark, samples, gammas,
+     accumulator finals}.
+
+check_attestation(bundle, proof, air, fc):
+  1. Re-execute the verification ALGEBRA with the bundled samples injected
+     as the Fiat-Shamir challenges and all hashing skipped (refimpl.verify
+     with challenger=FakeChallenger, check_merkle=False).
+  2. Recompute the canonical accumulators from the proof bytes + bundled
+     samples alone (commitments, opened values, path siblings, fold leaf
+     evals from step 1) — no hashing except the one gamma digest.
+  3. Verify the attestation STARK for HashChainAir with those publics.
+
+## Why this binds
+
+* The transcript chain starts from the zero sponge state (first-row
+  constraint) and absorbs exactly the commitments/pow witness the checker
+  put into acc — so the exposed samples really are the Fiat-Shamir
+  challenges of THESE commitments.
+* Every Merkle chain ends by exposing its root into acco, which the
+  checker recomputes using the claimed commitments — so the openings hash
+  up to the committed roots.
+* Every absorbed leaf/sibling value sits in a gamma-slot of acc that the
+  checker fills from the same proof bytes its algebra consumed — a prover
+  that hashes different values than the algebra used breaks the
+  accumulator equality (Schwartz-Zippel over gammas derived by hashing
+  the sequence itself, 2 x ~2^64).
+* Free witness masks (m, mo, b) cannot cheat: deviating from the
+  canonical schedule moves values across gamma-slots and breaks the same
+  equality (the compress-row case additionally couples b to content via
+  the chaining constraint).
+
+The attestation is most useful in AGGREGATE: one HashChainAir trace can
+carry the permutations of a whole batch of verifications, yielding a
+single STARK for B proofs (amortized succinctness) — see attest_many.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from .constants import GOLDILOCKS_P as P, RATE, WIDTH
+from .errors import P25Error
+from .models.poseidon2_air import (
+    ACC_OFF,
+    ACCO_OFF,
+    B_COL,
+    CORE_WIDTH,
+    M_OFF,
+    MO_OFF,
+    NUM_HASH_COLS,
+    SEL_C,
+    SEL_L,
+    SEL_T,
+    HashChainAir,
+)
+from .proof import FriConfig, Proof, derive_config
+from .refimpl.challenger import DuplexChallenger
+from .refimpl.poseidon2 import poseidon2
+from .refimpl.verifier import verify as refimpl_verify
+
+
+class CannotAttest(P25Error):
+    """The proof did not verify; refusing to attest."""
+
+
+@dataclass
+class AttestationBundle:
+    stark: Proof                  # the attestation STARK proof
+    samples: List[int]            # every Fiat-Shamir sample, in order
+    gamma: Tuple[int, int]
+    acc: Tuple[int, int]
+    acc_out: Tuple[int, int]
+    att_fri_config: FriConfig
+    n_rows: int                   # active rows (pre-padding)
+
+
+class _RecordingChallenger(DuplexChallenger):
+    """DuplexChallenger that records every raw sample in order."""
+
+    def __init__(self):
+        super().__init__()
+        self.samples: List[int] = []
+
+    def sample(self) -> int:
+        v = super().sample()
+        self.samples.append(v)
+        return v
+
+
+class _FakeChallenger:
+    """Replays recorded samples; never hashes (attestation checker)."""
+
+    def __init__(self, samples: List[int]):
+        self._it = iter(samples)
+        self.exhausted_ok = True
+
+    def observe(self, value):
+        pass
+
+    def observe_many(self, values):
+        pass
+
+    def sample(self) -> int:
+        try:
+            return next(self._it)
+        except StopIteration:
+            self.exhausted_ok = False
+            return 0
+
+    def sample_ext(self):
+        return (self.sample(), self.sample())
+
+    def sample_bits(self, bits: int) -> int:
+        return self.sample() & ((1 << bits) - 1)
+
+    def check_witness(self, bits: int, witness: int) -> bool:
+        return self.sample_bits(bits) == 0
+
+
+# ------------------------------------------------------------ row schedule
+
+@dataclass
+class _Row:
+    sel: str                      # 't' | 'c' | 'l'
+    absorbed: List[Tuple[int, int]]   # (lane, value) fresh input data
+    exposed_lanes: List[int]      # output lanes exposed into acco
+    exposed_vals: List[int]       # canonical values at those lanes
+    b: int = 0
+
+
+def _obs_values(proof: Proof) -> List[int]:
+    """Observation values in transcript order (matches witness.pack_witness
+    and the verifier's observe sequence, verifier.rs:135-139, 363-376)."""
+    fp = proof.opening_proof.fri_proof
+    obs: List[int] = []
+    obs += proof.commitments.trace.value
+    obs += proof.commitments.quotient_chunks.value
+    for c in fp.commit_phase_commits:
+        obs += c.value
+    obs.append(fp.pow_witness)
+    return obs
+
+
+def _transcript_rows(proof: Proof, config, samples: List[int]) -> List[_Row]:
+    """Transcript duplex rows from the symbolic schedule."""
+    from .challenger import SymbolicChallenger
+
+    fc = config.fri_config
+    sym = SymbolicChallenger()
+    sym.observe(4)
+    sym.sample_ext()                  # alpha
+    sym.observe(4)
+    sym.sample_ext()                  # zeta
+    sym.sample_ext()                  # alpha_fri
+    for _ in range(config.log_trace_height):
+        sym.observe(4)
+        sym.sample_ext()              # beta
+    sym.observe(1)                    # pow witness
+    sym.sample()                      # pow check
+    for _ in range(fc.num_queries):
+        sym.sample()                  # query index sample
+
+    obs = _obs_values(proof)
+    rows = [
+        _Row(sel="t",
+             absorbed=[(lane, obs[oid]) for lane, oid in enumerate(step)],
+             exposed_lanes=[], exposed_vals=[])
+        for step in sym.steps
+    ]
+    for i, (step, lane) in enumerate(sym.sample_srcs):
+        rows[step].exposed_lanes.append(lane)
+        rows[step].exposed_vals.append(samples[i])
+    return rows
+
+
+def _leaf_rows(flat_vals: List[int]) -> List[_Row]:
+    """Overwrite-mode sponge rows for one leaf (commit.rs:23-46): RATE-
+    sized chunks; first row starts the chain, later rows chain like
+    transcript duplexes."""
+    rows = []
+    for off in range(0, len(flat_vals), RATE):
+        chunk = flat_vals[off:off + RATE]
+        rows.append(_Row(
+            sel="l" if off == 0 else "t",
+            absorbed=[(j, v) for j, v in enumerate(chunk)],
+            exposed_lanes=[], exposed_vals=[]))
+    return rows
+
+
+def _path_rows(index: int, siblings: List[List[int]],
+               root_vals: List[int]) -> List[_Row]:
+    """Compress-chain rows for one Merkle path; the last row exposes the
+    root (canonically: the commitment)."""
+    rows = []
+    idx = index
+    for d, sib in enumerate(siblings):
+        b = idx & 1
+        lanes = range(0, 4) if b else range(4, 8)
+        rows.append(_Row(sel="c",
+                         absorbed=[(j, v) for j, v in zip(lanes, sib)],
+                         exposed_lanes=[], exposed_vals=[], b=b))
+        idx >>= 1
+    rows[-1].exposed_lanes = [0, 1, 2, 3]
+    rows[-1].exposed_vals = list(root_vals)
+    return rows
+
+
+def build_row_schedule(proof: Proof, config, samples: List[int],
+                       fold_leaves) -> List[_Row]:
+    """The canonical row schedule of one verification (see module doc)."""
+    fc = config.fri_config
+    fp = proof.opening_proof.fri_proof
+    log_max = config.log_trace_height + fc.log_blowup
+    rows = _transcript_rows(proof, config, samples)
+
+    n_pre = 6 + 2 * config.log_trace_height + 1  # samples before queries
+    for q in range(fc.num_queries):
+        index = samples[n_pre + q] & ((1 << log_max) - 1)
+        batches = proof.opening_proof.query_openings[q]
+        commits = [proof.commitments.trace.value,
+                   proof.commitments.quotient_chunks.value]
+        for b_i, batch in enumerate(batches):
+            flat = [v for row in batch.opened_values for v in row]
+            rows += _leaf_rows(flat)
+            rows += _path_rows(index, batch.opening_proof, commits[b_i])
+        # fold levels
+        idx = index
+        steps = fp.query_proofs[q].commit_phase_openings
+        for l, step in enumerate(steps):
+            e0, e1 = fold_leaves[q][l]
+            rows += _leaf_rows([e0[0], e0[1], e1[0], e1[1]])
+            rows += _path_rows(idx >> 1, step.opening_proof,
+                               fp.commit_phase_commits[l].value)
+            idx >>= 1
+    return rows
+
+
+# ----------------------------------------------------------- accumulators
+
+def derive_gammas(rows: List[_Row]) -> Tuple[int, int]:
+    """gammas = Poseidon2 sponge digest of the canonical absorbed+exposed
+    sequence (so the binding point depends on the data itself)."""
+    from .refimpl.commit import hash_iter_slices
+
+    seq: List[int] = [len(rows)]
+    for r in rows:
+        for lane, v in r.absorbed:
+            seq.append(lane)
+            seq.append(v % P)
+        for lane, v in zip(r.exposed_lanes, r.exposed_vals):
+            seq.append(WIDTH + lane)
+            seq.append(v % P)
+    d = hash_iter_slices([seq])
+    g1, g2 = d[0], d[1]
+    # gamma = 0 would erase the binding; astronomically unlikely, but be
+    # total about it
+    return (g1 or 1, g2 or 1)
+
+
+def fold_accumulators(rows: List[_Row], gamma: Tuple[int, int]):
+    """Canonical (acc, acc_out) over active rows."""
+    accs = [0, 0]
+    accos = [0, 0]
+    for r in rows:
+        for k, g in enumerate(gamma):
+            gg = pow(g, WIDTH, P)
+            c = 0
+            for lane, v in r.absorbed:
+                c = (c + (v % P) * pow(g, lane, P)) % P
+            accs[k] = (accs[k] * gg + c) % P
+            co = 0
+            for lane, v in zip(r.exposed_lanes, r.exposed_vals):
+                co = (co + (v % P) * pow(g, lane, P)) % P
+            accos[k] = (accos[k] * gg + co) % P
+    return (accs[0], accs[1]), (accos[0], accos[1])
+
+
+# ----------------------------------------------------------- trace build
+
+def _rows_to_trace(rows: List[_Row], log_n: Optional[int] = None):
+    """Host states + chain columns -> full row-major int trace.
+
+    Sequentially replays the permutations (host ints) to resolve chained
+    inputs, then computes the core aux columns on device in one batch."""
+    import numpy as np
+
+    from .fields import gl
+    from .models.poseidon2_air import poseidon2_core_rows
+
+    R = len(rows)
+    height = 1 << (max(R, 2) - 1).bit_length()
+    if log_n is not None:
+        assert height <= (1 << log_n), "schedule exceeds requested height"
+        height = 1 << log_n
+
+    states = []
+    sel = np.zeros((height, 3), object)
+    bcol = np.zeros((height,), object)
+    m = np.zeros((height, WIDTH), object)
+    mo = np.zeros((height, WIDTH), object)
+    prev_out = [0] * WIDTH
+    for i, r in enumerate(rows):
+        if r.sel == "t":
+            st = list(prev_out)
+        elif r.sel == "c":
+            dig = prev_out[:4]
+            st = [0] * WIDTH
+            if r.b:
+                st[4:8] = dig
+            else:
+                st[0:4] = dig
+        else:  # leaf chain start
+            st = [0] * WIDTH
+        for lane, v in r.absorbed:
+            st[lane] = v % P
+            m[i, lane] = 1
+        for lane in r.exposed_lanes:
+            mo[i, lane] = 1
+        sel[i, {"t": 0, "c": 1, "l": 2}[r.sel]] = 1
+        bcol[i] = r.b
+        states.append(st)
+        prev_out = poseidon2(st)
+    for _ in range(height - R):
+        states.append([0] * WIDTH)
+
+    core = gl.to_u64(poseidon2_core_rows(gl.from_u64(
+        np.asarray(states, object))))          # (height, CORE_WIDTH) ints
+
+    return core, sel, bcol, m, mo, height
+
+
+def _acc_columns(rows, height, gamma):
+    """Running accumulator columns (host ints)."""
+    import numpy as np
+
+    acc = np.zeros((height, 2), object)
+    acco = np.zeros((height, 2), object)
+    cur = [0, 0]
+    curo = [0, 0]
+    for i in range(height):
+        if i < len(rows):
+            r = rows[i]
+            for k, g in enumerate(gamma):
+                gg = pow(g, WIDTH, P)
+                c = sum((v % P) * pow(g, lane, P)
+                        for lane, v in r.absorbed) % P
+                cur[k] = (cur[k] * gg + c) % P
+                co = sum((v % P) * pow(g, lane, P)
+                         for lane, v in zip(r.exposed_lanes,
+                                            r.exposed_vals)) % P
+                curo[k] = (curo[k] * gg + co) % P
+        acc[i] = list(cur)
+        acco[i] = list(curo)
+    return acc, acco
+
+
+def build_attestation_trace(rows: List[_Row], gamma,
+                            log_n: Optional[int] = None) -> List[List[int]]:
+    """Full NUM_HASH_COLS-wide row-major trace for HashChainAir."""
+    import numpy as np
+
+    core, sel, bcol, m, mo, height = _rows_to_trace(rows, log_n)
+    acc, acco = _acc_columns(rows, height, gamma)
+
+    trace = np.zeros((height, NUM_HASH_COLS), object)
+    trace[:, :CORE_WIDTH] = np.asarray(core, object)
+    trace[:, SEL_T] = sel[:, 0]
+    trace[:, SEL_C] = sel[:, 1]
+    trace[:, SEL_L] = sel[:, 2]
+    trace[:, B_COL] = bcol
+    trace[:, M_OFF:M_OFF + WIDTH] = m
+    trace[:, MO_OFF:MO_OFF + WIDTH] = mo
+    trace[:, ACC_OFF:ACC_OFF + 2] = acc
+    trace[:, ACCO_OFF:ACCO_OFF + 2] = acco
+    return trace.tolist()
+
+
+# ------------------------------------------------------------- public API
+
+def attest(proof: Proof, air, fri_config: FriConfig,
+           att_fri_config: Optional[FriConfig] = None,
+           use_device_prover: bool = True) -> AttestationBundle:
+    """Verify `proof` and emit a STARK attesting the verification.
+
+    Raises CannotAttest if the proof does not verify — a failed
+    verification cannot be attested."""
+    ch = _RecordingChallenger()
+    tr = refimpl_verify(proof, air, fri_config, challenger=ch)
+    if not tr.ok:
+        raise CannotAttest(
+            f"verification failed (pow={tr.pow_ok} merkle={tr.merkle_ok} "
+            f"fold={tr.fold_ok} quotient={tr.quotient_ok})")
+
+    config = derive_config(proof, fri_config)
+    rows = build_row_schedule(proof, config, ch.samples, tr.fold_leaves)
+    gamma = derive_gammas(rows)
+    acc, acc_out = fold_accumulators(rows, gamma)
+    trace = build_attestation_trace(rows, gamma)
+
+    att_fc = att_fri_config or FriConfig(
+        log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    hc_air = HashChainAir(
+        {"gamma": gamma, "acc": acc, "acc_out": acc_out})
+    if use_device_prover:
+        from .prover import prove_on_device
+
+        stark = prove_on_device(hc_air, trace, att_fc)
+    else:
+        from .refimpl.prover import prove
+
+        stark = prove(hc_air, trace, att_fc)
+    return AttestationBundle(
+        stark=stark, samples=list(ch.samples), gamma=gamma, acc=acc,
+        acc_out=acc_out, att_fri_config=att_fc, n_rows=len(rows))
+
+
+def check_attestation(bundle: AttestationBundle, proof: Proof, air,
+                      fri_config: FriConfig) -> bool:
+    """Accept iff `bundle` attests a valid verification of `proof`.
+
+    Hash-free except the gamma digest and the attestation STARK's own
+    (much smaller) verification."""
+    import numpy as np
+
+    # 1. algebra re-execution with the attested challenges
+    fake = _FakeChallenger(bundle.samples)
+    tr = refimpl_verify(proof, air, fri_config, challenger=fake,
+                        check_merkle=False)
+    if not (tr.shape_ok and tr.pow_ok and tr.fold_ok and tr.quotient_ok
+            and fake.exhausted_ok):
+        return False
+
+    # 2. canonical sequences from proof bytes + samples only
+    config = derive_config(proof, fri_config)
+    rows = build_row_schedule(proof, config, bundle.samples, tr.fold_leaves)
+    gamma = derive_gammas(rows)
+    acc, acc_out = fold_accumulators(rows, gamma)
+    if (gamma != tuple(bundle.gamma) or acc != tuple(bundle.acc)
+            or acc_out != tuple(bundle.acc_out)
+            or len(rows) != bundle.n_rows):
+        return False
+    height = 1 << (max(len(rows), 2) - 1).bit_length()
+    if bundle.stark.degree_bits != height.bit_length() - 1:
+        return False
+
+    # 3. the attestation STARK itself
+    from .verifier import verify_proof
+
+    hc_air = HashChainAir(
+        {"gamma": gamma, "acc": acc, "acc_out": acc_out})
+    r = verify_proof(bundle.stark, hc_air, bundle.att_fri_config)
+    return bool(np.asarray(r.ok))

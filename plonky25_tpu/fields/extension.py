@@ -205,6 +205,14 @@ class Ops:
         return stack(vals)
 
     @staticmethod
+    def concat(vals):
+        """Concatenate along the constraint axis (axis 0)."""
+        return GL2(
+            gl.concatenate([v.c0 for v in vals], axis=0),
+            gl.concatenate([v.c1 for v in vals], axis=0),
+        )
+
+    @staticmethod
     def take(vec: GL2, idx):
         import numpy as _np
 

@@ -164,9 +164,24 @@ def constant(value: int):
 
 
 def from_u64(values) -> GL:
-    """Host-side: numpy array / nested list / int of python ints -> canonical GL."""
-    shape = np.shape(values)
-    flat = [int(v) % P for v in np.asarray(values, dtype=object).reshape(-1)]
+    """Host-side: numpy array / nested list / int of python ints -> canonical GL.
+
+    Numeric numpy dtypes take a vectorized path (object arrays of python
+    ints loop per element — prohibitive for 10M-element Keccak traces)."""
+    # Fast path ONLY for pre-formed integer ndarrays: coercing python-int
+    # lists through np.asarray silently promotes mixed-magnitude values to
+    # float64 and loses precision, so lists always take the exact path.
+    if (isinstance(values, np.ndarray) and values.dtype != object
+            and np.issubdtype(values.dtype, np.integer)
+            and not (np.issubdtype(values.dtype, np.signedinteger)
+                     and values.size and values.min() < 0)):
+        a = values.astype(np.uint64) % np.uint64(P)
+        lo = (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (a >> np.uint64(32)).astype(np.uint32)
+        return GL(jnp.asarray(lo), jnp.asarray(hi))
+    arr = np.asarray(values, dtype=object)
+    shape = arr.shape
+    flat = [int(v) % P for v in np.asarray(arr, dtype=object).reshape(-1)]
     lo = np.asarray([v & 0xFFFFFFFF for v in flat], dtype=np.uint32).reshape(shape)
     hi = np.asarray([v >> 32 for v in flat], dtype=np.uint32).reshape(shape)
     return GL(jnp.asarray(lo), jnp.asarray(hi))

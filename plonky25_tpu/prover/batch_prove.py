@@ -66,7 +66,8 @@ class BatchProver:
         self.base = TpuProver(air, log_n, fri_config)
         b = self.base
         self._c_trace = jax.jit(jax.vmap(b._commit_trace_fn))
-        self._quot = jax.jit(jax.vmap(b._quotient_fn))
+        # publics broadcast across the batch (same-bundle batches)
+        self._quot = jax.jit(jax.vmap(b._quotient_fn, in_axes=(0, 0, None)))
         self._chunks = jax.jit(jax.vmap(b._commit_chunks_fn))
         self._opened = jax.jit(jax.vmap(b._opened_fn))
         self._ro = jax.jit(jax.vmap(b._ro_fn))
@@ -113,7 +114,8 @@ class BatchProver:
 
         calls = [
             lambda: self._c_trace(z((B, W, H))),
-            lambda: self._quot(z((B, W, H)), ze((B,))),
+            lambda: self._quot(z((B, W, H)), ze((B,)),
+                               {k: ze(()) for k in b.air.public_values()}),
             lambda: self._chunks(ze((B, qsize))),
             lambda: self._opened(z((B, W, H)), ze((B, qsize)), ze((B,))),
             lambda: self._ro(z((B, N, W)), z((B, 1 << l, b.n_chunks * EXT_DEGREE)),
@@ -174,7 +176,9 @@ class BatchProver:
         ch.observe_many(trace_levels[-1][:, 0])                # roots (B, 4)
         alpha_d = ch.sample_ext()                              # (B,) ext
 
-        q_evals = self._quot(cols, alpha_d)
+        from ..verifier import _publics_device
+
+        q_evals = self._quot(cols, alpha_d, _publics_device(b.air))
         q_rows = self._chunks(q_evals)
         q_levels = self._tree(q_rows)
         ch.observe_many(q_levels[-1][:, 0])

@@ -109,8 +109,10 @@ class TpuProver:
         lde = lde[:, _bitrev_idx(self.log_max)]
         return GL(lde.lo.T, lde.hi.T)  # (N, W)
 
-    def _quotient_fn(self, cols: GL, alpha: GL2):
-        """Constraint folding over the quotient domain -> ext evals (q_size,)."""
+    def _quotient_fn(self, cols: GL, alpha: GL2, publics=None):
+        """Constraint folding over the quotient domain -> ext evals
+        (q_size,).  `publics`: GL2-scalar pytree of the AIR's public
+        values, a runtime input (see verifier._publics_device)."""
         q_size = 1 << self.q_log_n
         h = 1 << self.log_n
         coeffs = coset_intt(cols, 1)
@@ -149,6 +151,7 @@ class TpuProver:
             is_last_row=is_last,
             is_transition=is_trans,
             alpha=alpha,
+            publics=publics,
         )
         self.air.eval(folder)
         acc = folder.accumulator                          # (q,) ext
@@ -333,7 +336,9 @@ class TpuProver:
 
         calls = [
             lambda: self._s_commit_trace(z((W, H))),
-            lambda: self._s_quotient(z((W, H)), ze(())),
+            lambda: self._s_quotient(
+                z((W, H)), ze(()),
+                {k: ze(()) for k in self.air.public_values()}),
             lambda: self._s_commit_chunks(ze((qsize,))),
             lambda: self._s_opened(z((W, H)), ze((qsize,)), ze(())),
             lambda: self._s_ro(z((N, W)), z((1 << l, self.n_chunks * EXT_DEGREE)),
@@ -376,7 +381,11 @@ class TpuProver:
         assert len(trace_rows_host) == H and len(trace_rows_host[0]) == self.width
         ch = DeviceChallenger()
 
-        cols_np = np.asarray(trace_rows_host, dtype=object).T  # (W, H)
+        if (isinstance(trace_rows_host, np.ndarray)
+                and trace_rows_host.dtype != object):
+            cols_np = trace_rows_host.T           # numeric fast path
+        else:
+            cols_np = np.asarray(trace_rows_host, dtype=object).T  # (W, H)
         cols = gl.from_u64(cols_np)
 
         # commit trace
@@ -386,7 +395,10 @@ class TpuProver:
         alpha_d = ch.sample_ext()
 
         # quotient
-        q_evals = self._s_quotient(cols, alpha_d)               # (q,) ext
+        from ..verifier import _publics_device
+
+        q_evals = self._s_quotient(cols, alpha_d,
+                                   _publics_device(self.air))   # (q,) ext
         q_rows = self._s_commit_chunks(q_evals)
         quotient_tree = DeviceMerkleTree(q_rows)
         ch.observe_many(quotient_tree.root)

@@ -170,6 +170,8 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         is_transition=(_np.asarray([s.is_transition[0] for s in sels], dtype=object),
                        _np.asarray([s.is_transition[1] for s in sels], dtype=object)),
         alpha=alpha,
+        publics={k: Gl2.from_base(v % P)
+                 for k, v in air.public_values().items()},
     )
     air.eval(folder)
     acc0, acc1 = folder.accumulator

@@ -77,6 +77,14 @@ class IntExtOps:
         idx = _np.asarray(idx)
         return (vec[0][idx], vec[1][idx])
 
+    @staticmethod
+    def concat(vals):
+        """Concatenate along the constraint axis (axis 0)."""
+        import numpy as _np
+
+        return (_np.concatenate([v[0] for v in vals], axis=0),
+                _np.concatenate([v[1] for v in vals], axis=0))
+
     def const_base(self, ints):
         import numpy as _np
 
@@ -129,12 +137,21 @@ class VerifyTrace:
     folded_evals: List[tuple] = field(default_factory=list)
     folded_constraints: tuple = (0, 0)
     quotient: tuple = (0, 0)
+    # per query, per fold level: the two leaf evals [e0, e1] in hash order
+    # (recorded for the attestation builder/checker, plonky25_tpu.attest)
+    fold_leaves: List[List[tuple]] = field(default_factory=list)
 
 
-def verify(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyTrace:
+def verify(proof: Proof, air: Air, fri_config: FriConfig,
+           challenger=None, check_merkle: bool = True) -> VerifyTrace:
+    """Full verification when called plain; with `challenger` (any object
+    with the DuplexChallenger interface) the transcript is driven by that
+    object instead, and with check_merkle=False the Merkle path hashing is
+    skipped — the hash-free algebra re-execution the attestation checker
+    runs (plonky25_tpu.attest; the hashes are covered by the STARK)."""
     config = derive_config(proof, fri_config)
     tr = VerifyTrace()
-    ch = DuplexChallenger()
+    ch = challenger if challenger is not None else DuplexChallenger()
 
     degree = 1 << proof.degree_bits
     quotient_degree = 1 << config.log_quotient_degree
@@ -213,13 +230,14 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyTrace:
         for batch_opening, (batch_commit, mats) in zip(query_opening, commits_and_points):
             batch_dims = [(0, dom.size()) for dom, _ in mats]
             base_dims = [(w * EXT_DEGREE, h) for w, h in batch_dims]
-            merkle_ok &= verify_batch(
-                batch_commit,
-                base_dims,
-                index,
-                batch_opening.opened_values,
-                batch_opening.opening_proof,
-            )
+            if check_merkle:
+                merkle_ok &= verify_batch(
+                    batch_commit,
+                    base_dims,
+                    index,
+                    batch_opening.opened_values,
+                    batch_opening.opening_proof,
+                )
             for mat_opening, (mat_domain, mat_points_and_values) in zip(
                 batch_opening.opened_values, mats
             ):
@@ -247,10 +265,12 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyTrace:
     for index, qproof, ro in zip(
         query_indices, fri_proof.query_proofs, reduced_openings
     ):
-        folded_eval, q_merkle_ok = _verify_query(
-            fri_proof.commit_phase_commits, index, qproof, betas, ro, log_max_height
+        folded_eval, q_merkle_ok, leaves = _verify_query(
+            fri_proof.commit_phase_commits, index, qproof, betas, ro,
+            log_max_height, check_merkle
         )
         merkle_ok &= q_merkle_ok
+        tr.fold_leaves.append(leaves)
         tr.folded_evals.append(folded_eval)
         fold_ok &= folded_eval == fri_proof.final_poly
     tr.fold_ok = fold_ok
@@ -284,6 +304,8 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyTrace:
         is_last_row=sels.is_last_row,
         is_transition=sels.is_transition,
         alpha=alpha,
+        publics={k: Gl2.from_base(v % P)
+                 for k, v in air.public_values().items()},
     )
     air.eval(folder)
     folded_constraints = folder.accumulator
@@ -297,8 +319,11 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyTrace:
     return tr
 
 
-def _verify_query(commit_phase_commits, index, qproof, betas, ro, log_max_height):
-    """verifier.rs:419-519."""
+def _verify_query(commit_phase_commits, index, qproof, betas, ro,
+                  log_max_height, check_merkle: bool = True):
+    """verifier.rs:419-519.  Also returns the per-level [e0, e1] leaf
+    pairs in hash order (attestation support)."""
+    leaves = []
     folded_eval = Gl2.ZERO
     g = Gl.two_adic_generator(log_max_height)
     x = Gl2.from_base(pow(g, reverse_bits_len(index, log_max_height), P))
@@ -321,11 +346,13 @@ def _verify_query(commit_phase_commits, index, qproof, betas, ro, log_max_height
         else:
             evals = [step.sibling_value, folded_eval]
 
-        dims = [(2 * EXT_DEGREE, 1 << log_folded_height)]
-        leaf_row = [v for e in evals for v in e]
-        merkle_ok &= verify_batch(
-            commit.value, dims, index_pair, [leaf_row], step.opening_proof
-        )
+        leaves.append((evals[0], evals[1]))
+        if check_merkle:
+            dims = [(2 * EXT_DEGREE, 1 << log_folded_height)]
+            leaf_row = [v for e in evals for v in e]
+            merkle_ok &= verify_batch(
+                commit.value, dims, index_pair, [leaf_row], step.opening_proof
+            )
 
         if is_odd:
             xs = [x, Gl2.mul(x, g1)]
@@ -339,4 +366,4 @@ def _verify_query(commit_phase_commits, index, qproof, betas, ro, log_max_height
         index = index_pair
         x = Gl2.mul(x, x)
 
-    return folded_eval, merkle_ok
+    return folded_eval, merkle_ok, leaves

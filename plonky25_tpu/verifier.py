@@ -394,9 +394,11 @@ class TpuVerifier:
         return jnp.all(gl2.eq(folded_eval, fp) & ok)
 
     def _final_fn(self, alpha: GL2, zeta: GL2, trace_local: GL2,
-                  trace_next: GL2, quotient_chunks: GL2):
+                  trace_next: GL2, quotient_chunks: GL2, publics=None):
         """Quotient reconstruction + Lagrange selectors + AIR folding
-        (verifier.rs:169-239)."""
+        (verifier.rs:169-239).  `publics` is a pytree of GL2 scalars (the
+        AIR's public values) passed as a RUNTIME input so AIR instances
+        differing only in publics share this compiled module."""
         cfg = self.config
 
         # zps[i] = (prod_{j!=i} zp_j(zeta)) * host_factor_i
@@ -448,6 +450,7 @@ class TpuVerifier:
             is_last_row=is_last_row,
             is_transition=is_transition,
             alpha=alpha,
+            publics=publics,
         )
         self.air.eval(folder)
         folded_constraints = folder.accumulator
@@ -497,7 +500,7 @@ class TpuVerifier:
 
         quotient_ok = self._s_final(
             t["alpha"], t["zeta"], w["trace_local"], w["trace_next"],
-            w["quotient_chunks"]
+            w["quotient_chunks"], _publics_device(self.air),
         )
 
         ok = t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
@@ -574,3 +577,9 @@ def verify_proof(proof: Proof, air: Air, fri_config: FriConfig) -> VerifyResult:
     if len(proof.opened_values.trace_local) != air.width():
         return _shape_fail()
     return get_verifier(air, config).verify(proof)
+
+
+def _publics_device(air: Air):
+    """Air.public_values() host ints -> GL2 scalar pytree (device)."""
+    pv = air.public_values()
+    return {k: gl2.from_base(gl.from_u64([v])[0]) for k, v in pv.items()}
