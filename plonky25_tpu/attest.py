@@ -444,11 +444,15 @@ def attest(proof: Proof, air, fri_config: FriConfig,
 
 
 def check_attestation(bundle: AttestationBundle, proof: Proof, air,
-                      fri_config: FriConfig) -> bool:
+                      fri_config: FriConfig,
+                      use_device_verifier: bool = True) -> bool:
     """Accept iff `bundle` attests a valid verification of `proof`.
 
     Hash-free except the gamma digest and the attestation STARK's own
-    (much smaller) verification."""
+    (much smaller) verification.  use_device_verifier=False checks the
+    STARK with the int oracle instead (CPU test environments where the
+    XLA:CPU backend compiles the 522-wide constraint module pathologically
+    slowly; the TPU toolchain does not exhibit this)."""
     import numpy as np
 
     # 1. algebra re-execution with the attested challenges
@@ -473,9 +477,12 @@ def check_attestation(bundle: AttestationBundle, proof: Proof, air,
         return False
 
     # 3. the attestation STARK itself
-    from .verifier import verify_proof
-
     hc_air = HashChainAir(
         {"gamma": gamma, "acc": acc, "acc_out": acc_out})
-    r = verify_proof(bundle.stark, hc_air, bundle.att_fri_config)
-    return bool(np.asarray(r.ok))
+    if use_device_verifier:
+        from .verifier import verify_proof
+
+        r = verify_proof(bundle.stark, hc_air, bundle.att_fri_config)
+        return bool(np.asarray(r.ok))
+    return bool(refimpl_verify(bundle.stark, hc_air,
+                               bundle.att_fri_config).ok)

@@ -158,8 +158,12 @@ class BatchProver:
         assert all(len(t) == H and len(t[0]) == b.width for t in traces)
         ch = DeviceChallenger(batch=(B,))
 
-        cols = gl.from_u64(
-            np.transpose(np.asarray(traces, dtype=object), (0, 2, 1)))  # (B,W,H)
+        if all(isinstance(t, np.ndarray) and t.dtype != object
+               for t in traces):
+            stacked = np.stack(traces)                   # numeric fast path
+        else:
+            stacked = np.asarray(traces, dtype=object)
+        cols = gl.from_u64(np.transpose(stacked, (0, 2, 1)))  # (B,W,H)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
 

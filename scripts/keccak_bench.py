@@ -1,10 +1,13 @@
 """Keccak-AIR proving benchmark (BASELINE config 4 at scale).
 
-    python scripts/keccak_bench.py [n_perms]   # default 10 (trace 2^8 x 2633)
+    python scripts/keccak_bench.py [n_perms] [batch]
+        # default 170 perms (trace 2^12 x 2633), batch 1
 
-Measured on one v5e chip (2026-08-16): trace gen 0.1s, first prove 232s
-(module compilation, cached thereafter), steady-state re-prove 3.8s,
-verifies on the JAX path.
+Round-1 state: 10 perms re-proved in 3.8s = 2.6 keccak-f/s/chip
+(scalar host trace gen took minutes and the shape was tiny).  Round-2:
+vectorized trace gen (keccak_trace_np, ~0.2s for 2^12 rows) and larger
+traces amortize the per-proof fixed costs; `batch` > 1 runs same-shape
+proofs through the vmapped BatchProver.
 """
 
 import os
@@ -24,34 +27,54 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 
-from plonky25_tpu.models.keccak_air import KeccakAir, NUM_KECCAK_COLS, keccak_trace
+from plonky25_tpu.models.keccak_air import (
+    KeccakAir,
+    NUM_KECCAK_COLS,
+    keccak_trace_np,
+)
 from plonky25_tpu.proof import FriConfig
-from plonky25_tpu.prover import prove_on_device
+from plonky25_tpu.prover import prove_batch_on_device, prove_on_device
 from plonky25_tpu.verifier import verify_proof
 
 
 def main():
-    n_perms = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    n_perms = int(sys.argv[1]) if len(sys.argv) > 1 else 170
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     rng = random.Random(3)
-    inputs = [[rng.randrange(1 << 64) for _ in range(25)] for _ in range(n_perms)]
-    height = 1
-    while height < n_perms * 24:
-        height *= 2
+    inputs = [[rng.randrange(1 << 64) for _ in range(25)]
+              for _ in range(n_perms)]
 
     t0 = time.time()
-    rows = keccak_trace(inputs, min_height=height)
-    print(f"trace gen ({len(rows)}x{NUM_KECCAK_COLS}): {time.time() - t0:.1f}s")
+    rows = keccak_trace_np(inputs)
+    print(f"trace gen ({rows.shape[0]}x{NUM_KECCAK_COLS}): "
+          f"{time.time() - t0:.2f}s")
 
     fc = FriConfig(log_blowup=1, num_queries=64, proof_of_work_bits=8)
     air = KeccakAir()
-    t0 = time.time()
-    prove_on_device(air, rows, fc)
-    print(f"first prove (incl. compile): {time.time() - t0:.1f}s")
-    t0 = time.time()
-    proof = prove_on_device(air, rows, fc)
-    dt = time.time() - t0
-    print(f"re-prove: {dt:.2f}s ({n_perms / dt:.1f} keccak-f permutations proved/s)")
-    print("verifies:", bool(np.asarray(verify_proof(proof, air, fc).ok)))
+
+    if batch == 1:
+        t0 = time.time()
+        prove_on_device(air, rows, fc)
+        print(f"first prove (incl. compile): {time.time() - t0:.1f}s")
+        t0 = time.time()
+        proof = prove_on_device(air, rows, fc)
+        dt = time.time() - t0
+        print(f"re-prove: {dt:.2f}s "
+              f"({n_perms / dt:.1f} keccak-f proved/s/chip)")
+        print("verifies:",
+              bool(np.asarray(verify_proof(proof, air, fc).ok)))
+    else:
+        traces = [rows] * batch
+        t0 = time.time()
+        prove_batch_on_device(air, traces, fc)
+        print(f"first batch prove (incl. compile): {time.time() - t0:.1f}s")
+        t0 = time.time()
+        proofs = prove_batch_on_device(air, traces, fc)
+        dt = time.time() - t0
+        print(f"batch re-prove B={batch}: {dt:.2f}s "
+              f"({batch * n_perms / dt:.1f} keccak-f proved/s/chip)")
+        print("verifies:",
+              bool(np.asarray(verify_proof(proofs[0], air, fc).ok)))
 
 
 if __name__ == "__main__":

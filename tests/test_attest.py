@@ -1,0 +1,152 @@
+"""Recursive attestation (plonky25_tpu.attest): the TPU-native analogue of
+the reference's verify-inside-a-proof (src/p3/mod.rs:66-94, 261)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import plonky25_tpu.attest as A
+from plonky25_tpu.air import VerifierConstraintFolder
+from plonky25_tpu.models.fibonacci import FibonacciAir, fibonacci_trace
+from plonky25_tpu.models.poseidon2_air import (
+    CORE_WIDTH,
+    NUM_HASH_COLS,
+    OUT_OFF,
+    HashChainAir,
+    poseidon2_core_rows,
+)
+from plonky25_tpu.proof import FriConfig, derive_config
+from plonky25_tpu.refimpl.field import Gl2
+from plonky25_tpu.refimpl.poseidon2 import poseidon2
+from plonky25_tpu.refimpl.prover import prove as refimpl_prove
+from plonky25_tpu.refimpl.verifier import IntExtOps, verify as refimpl_verify
+
+FC = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
+ATT_FC = FriConfig(log_blowup=1, num_queries=10, proof_of_work_bits=4)
+
+
+@pytest.fixture(scope="module")
+def small_proof():
+    return refimpl_prove(FibonacciAir(), fibonacci_trace(8), FC)
+
+
+@pytest.fixture(scope="module")
+def attestation_parts(small_proof):
+    ch = A._RecordingChallenger()
+    tr = refimpl_verify(small_proof, FibonacciAir(), FC, challenger=ch)
+    assert tr.ok
+    config = derive_config(small_proof, FC)
+    rows = A.build_row_schedule(small_proof, config, ch.samples,
+                                tr.fold_leaves)
+    gamma = A.derive_gammas(rows)
+    acc, acco = A.fold_accumulators(rows, gamma)
+    trace = A.build_attestation_trace(rows, gamma)
+    return ch, tr, rows, gamma, acc, acco, trace
+
+
+def test_core_rows_match_permutation_oracle(rng):
+    from plonky25_tpu.fields import gl
+
+    P = (1 << 64) - (1 << 32) + 1
+    states = [[rng.randrange(P) for _ in range(12)] for _ in range(4)]
+    core = gl.to_u64(poseidon2_core_rows(
+        gl.from_u64(np.asarray(states, object))))
+    for i, s in enumerate(states):
+        assert [int(v) for v in core[i][OUT_OFF:OUT_OFF + 12]] == poseidon2(s)
+
+
+class _Main:
+    pass
+
+
+def _eval_rows(air, trace):
+    """Direct constraint satisfaction on concrete rows (int backend)."""
+    h = len(trace)
+    ops = IntExtOps()
+    bad = []
+    for r in range(h):
+        m = _Main()
+        m.local_vec = ops.stack([Gl2.from_base(int(v)) for v in trace[r]])
+        m.next_vec = ops.stack(
+            [Gl2.from_base(int(v)) for v in trace[(r + 1) % h]])
+        folder = VerifierConstraintFolder(
+            ops=ops, main=m,
+            is_first_row=Gl2.from_base(1 if r == 0 else 0),
+            is_last_row=Gl2.from_base(1 if r == h - 1 else 0),
+            is_transition=Gl2.from_base(1 if r < h - 1 else 0),
+            alpha=Gl2.from_base(0))
+        air.eval(folder)
+        for ci, c in enumerate(folder._constraints):
+            a0 = np.atleast_1d(np.asarray(c[0], object)).reshape(-1)
+            a1 = np.atleast_1d(np.asarray(c[1], object)).reshape(-1)
+            if not (all(v == 0 for v in a0) and all(v == 0 for v in a1)):
+                bad.append((r, ci))
+    return bad
+
+
+def test_attestation_trace_satisfies_constraints(attestation_parts):
+    _, _, rows, gamma, acc, acco, trace = attestation_parts
+    air = HashChainAir({"gamma": gamma, "acc": acc, "acc_out": acco})
+    assert _eval_rows(air, trace) == []
+
+
+def test_tampered_trace_violates_constraints(attestation_parts):
+    """Flipping a hashed value or a mask breaks a constraint or the
+    accumulator binding."""
+    _, _, rows, gamma, acc, acco, trace = attestation_parts
+    air = HashChainAir({"gamma": gamma, "acc": acc, "acc_out": acco})
+    # tamper an input lane of an active row: breaks the permutation or
+    # the chain constraint
+    t = [list(r) for r in trace]
+    t[3][2] = (t[3][2] + 1) % ((1 << 64) - (1 << 32) + 1)
+    assert _eval_rows(air, t) != []
+    # tamper the final accumulator: breaks the last-row public binding
+    t = [list(r) for r in trace]
+    t[-1][NUM_HASH_COLS - 4] ^= 1
+    assert _eval_rows(air, t) != []
+
+
+def test_canonical_accs_match_trace(attestation_parts):
+    """fold_accumulators (checker-side, no states) agrees with the trace's
+    running accumulator columns (builder-side, from actual lane values)."""
+    from plonky25_tpu.models.poseidon2_air import ACC_OFF, ACCO_OFF
+
+    _, _, rows, gamma, acc, acco, trace = attestation_parts
+    assert (int(trace[-1][ACC_OFF]), int(trace[-1][ACC_OFF + 1])) == acc
+    assert (int(trace[-1][ACCO_OFF]), int(trace[-1][ACCO_OFF + 1])) == acco
+
+
+@pytest.mark.slow
+def test_attest_roundtrip_and_tamper(small_proof):
+    """Int-oracle prover/verifier variant: exercises the full protocol
+    without the XLA:CPU pathological compile of the 522-wide module (the
+    device path is exercised on TPU, scripts/attest_bench.py)."""
+    bundle = A.attest(small_proof, FibonacciAir(), FC, att_fri_config=ATT_FC,
+                      use_device_prover=False)
+    chk = lambda b, p, fc: A.check_attestation(
+        b, p, FibonacciAir(), fc, use_device_verifier=False)
+    assert chk(bundle, small_proof, FC)
+
+    # a failed verification cannot be attested
+    bad = copy.deepcopy(small_proof)
+    bad.opening_proof.fri_proof.pow_witness += 1
+    with pytest.raises(A.CannotAttest):
+        A.attest(bad, FibonacciAir(), FC, att_fri_config=ATT_FC,
+                 use_device_prover=False)
+
+    # tampered bundles are rejected
+    b = copy.deepcopy(bundle)
+    b.acc = (b.acc[0] ^ 1, b.acc[1])
+    assert not chk(b, small_proof, FC)
+    b = copy.deepcopy(bundle)
+    b.samples[0] += 1
+    assert not chk(b, small_proof, FC)
+
+    # a bundle for proof X does not attest proof Y
+    other = refimpl_prove(FibonacciAir(), fibonacci_trace(8),
+                          FriConfig(log_blowup=1, num_queries=3,
+                                    proof_of_work_bits=1))
+    assert not chk(bundle, other,
+                   FriConfig(log_blowup=1, num_queries=3,
+                             proof_of_work_bits=1))
