@@ -75,10 +75,18 @@ class _MainVec:
 class TpuProver:
     """Shape-specialized device prover; jitted stages cached per instance."""
 
-    def __init__(self, air: Air, log_n: int, fri_config: FriConfig):
+    def __init__(self, air: Air, log_n: int, fri_config: FriConfig,
+                 lde_mesh=None, lde_log_rows: int = 3):
+        # lde_mesh: optional 1-D jax.sharding.Mesh; the trace-LDE NTT then
+        # runs through the four-step factorization with its row axis on the
+        # mesh (all-to-all butterfly exchange over ICI; ops/ntt.py
+        # coset_ntt_four_step).  Proof bytes are identical either way
+        # (tests/test_ntt.py::test_prover_lde_four_step_sharded).
         self.air = air
         self.log_n = log_n
         self.fc = fri_config
+        self.lde_mesh = lde_mesh
+        self.lde_log_rows = lde_log_rows
         self.width = air.width()
         self.lqd = log2_ceil(getattr(air, "quotient_degree", lambda: 1)())
         self.n_chunks = 1 << self.lqd
@@ -105,7 +113,15 @@ class TpuProver:
         n_lde = 1 << self.log_max
         coeffs = coset_intt(cols, 1)
         pad = gl.zeros((self.width, n_lde - (1 << self.log_n)))
-        lde = coset_ntt(gl.concatenate([coeffs, pad], axis=-1), 7)  # (W, N)
+        cpad = gl.concatenate([coeffs, pad], axis=-1)
+        if self.lde_mesh is not None:
+            from ..ops.ntt import coset_ntt_four_step
+
+            lde = coset_ntt_four_step(
+                cpad, 7, log_rows=self.lde_log_rows,
+                mesh=self.lde_mesh, axis=self.lde_mesh.axis_names[0])
+        else:
+            lde = coset_ntt(cpad, 7)                    # (W, N)
         lde = lde[:, _bitrev_idx(self.log_max)]
         return GL(lde.lo.T, lde.hi.T)  # (N, W)
 
