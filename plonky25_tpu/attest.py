@@ -196,6 +196,12 @@ def _transcript_rows(proof: Proof, config, samples: List[int]) -> List[_Row]:
              exposed_lanes=[], exposed_vals=[])
         for step in sym.steps
     ]
+    # The first duplex starts from the ZERO sponge state with only its
+    # absorbed lanes set — exactly the leaf-row (chain start) semantics.
+    # Typing it 'l' (not 't') makes schedules CONCATENABLE: in a
+    # multi-proof trace the next proof's transcript must not chain from
+    # the previous proof's last row (attest_many).
+    rows[0].sel = "l"
     for i, (step, lane) in enumerate(sym.sample_srcs):
         rows[step].exposed_lanes.append(lane)
         rows[step].exposed_vals.append(samples[i])
@@ -479,6 +485,109 @@ def check_attestation(bundle: AttestationBundle, proof: Proof, air,
     # 3. the attestation STARK itself
     hc_air = HashChainAir(
         {"gamma": gamma, "acc": acc, "acc_out": acc_out})
+    if use_device_verifier:
+        from .verifier import verify_proof
+
+        r = verify_proof(bundle.stark, hc_air, bundle.att_fri_config)
+        return bool(np.asarray(r.ok))
+    return bool(refimpl_verify(bundle.stark, hc_air,
+                               bundle.att_fri_config).ok)
+
+
+# ------------------------------------------------------- batch aggregation
+
+@dataclass
+class MultiAttestationBundle:
+    stark: Proof
+    samples: List[List[int]]      # per proof, in verification order
+    gamma: Tuple[int, int]
+    acc: Tuple[int, int]
+    acc_out: Tuple[int, int]
+    att_fri_config: FriConfig
+    n_rows: int
+
+
+def _multi_rows(proofs: List[Proof], air, fri_config: FriConfig,
+                samples_list, fold_leaves_list) -> List[_Row]:
+    rows: List[_Row] = []
+    for proof, samples, leaves in zip(proofs, samples_list,
+                                      fold_leaves_list):
+        config = derive_config(proof, fri_config)
+        rows += build_row_schedule(proof, config, samples, leaves)
+    return rows
+
+
+def attest_many(proofs: List[Proof], air, fri_config: FriConfig,
+                att_fri_config: Optional[FriConfig] = None,
+                use_device_prover: bool = True) -> MultiAttestationBundle:
+    """One STARK attesting the verification of a whole batch of proofs.
+
+    The per-proof row schedules concatenate into one HashChainAir trace
+    (each proof's transcript opens a fresh chain, so no constraints cross
+    proof boundaries); the accumulators run across the entire batch.
+    Amortized, this is where attestation pays: B verifications collapse
+    into one proof whose own verification cost does not grow with B's
+    hashing work."""
+    samples_list, leaves_list = [], []
+    for i, proof in enumerate(proofs):
+        ch = _RecordingChallenger()
+        tr = refimpl_verify(proof, air, fri_config, challenger=ch)
+        if not tr.ok:
+            raise CannotAttest(f"proof {i} failed verification")
+        samples_list.append(ch.samples)
+        leaves_list.append(tr.fold_leaves)
+
+    rows = _multi_rows(proofs, air, fri_config, samples_list, leaves_list)
+    gamma = derive_gammas(rows)
+    acc, acc_out = fold_accumulators(rows, gamma)
+    trace = build_attestation_trace(rows, gamma)
+
+    att_fc = att_fri_config or FriConfig(
+        log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    hc_air = HashChainAir({"gamma": gamma, "acc": acc, "acc_out": acc_out})
+    if use_device_prover:
+        from .prover import prove_on_device
+
+        stark = prove_on_device(hc_air, trace, att_fc)
+    else:
+        from .refimpl.prover import prove
+
+        stark = prove(hc_air, trace, att_fc)
+    return MultiAttestationBundle(
+        stark=stark, samples=[list(s) for s in samples_list], gamma=gamma,
+        acc=acc, acc_out=acc_out, att_fri_config=att_fc, n_rows=len(rows))
+
+
+def check_attestations(bundle: MultiAttestationBundle, proofs: List[Proof],
+                       air, fri_config: FriConfig,
+                       use_device_verifier: bool = True) -> bool:
+    """Accept iff `bundle` attests valid verifications of ALL `proofs`."""
+    import numpy as np
+
+    if len(bundle.samples) != len(proofs):
+        return False
+    leaves_list = []
+    for proof, samples in zip(proofs, bundle.samples):
+        fake = _FakeChallenger(samples)
+        tr = refimpl_verify(proof, air, fri_config, challenger=fake,
+                            check_merkle=False)
+        if not (tr.shape_ok and tr.pow_ok and tr.fold_ok and tr.quotient_ok
+                and fake.exhausted_ok):
+            return False
+        leaves_list.append(tr.fold_leaves)
+
+    rows = _multi_rows(proofs, air, fri_config, bundle.samples, leaves_list)
+    gamma = derive_gammas(rows)
+    acc, acc_out = fold_accumulators(rows, gamma)
+    if (gamma != tuple(bundle.gamma) or acc != tuple(bundle.acc)
+            or acc_out != tuple(bundle.acc_out)
+            or len(rows) != bundle.n_rows):
+        return False
+    height = 1 << (max(len(rows), 2) - 1).bit_length()
+    if bundle.stark.degree_bits != height.bit_length() - 1:
+        return False
+
+    hc_air = HashChainAir({"gamma": gamma, "acc": acc, "acc_out": acc_out})
     if use_device_verifier:
         from .verifier import verify_proof
 

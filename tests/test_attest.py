@@ -150,3 +150,29 @@ def test_attest_roundtrip_and_tamper(small_proof):
     assert not chk(bundle, other,
                    FriConfig(log_blowup=1, num_queries=3,
                              proof_of_work_bits=1))
+
+
+@pytest.mark.slow
+def test_attest_many_aggregates(small_proof):
+    """One STARK attesting a batch of verifications (aggregation — the
+    amortized form of the reference's recursion)."""
+    other = refimpl_prove(FibonacciAir(), fibonacci_trace(16), FC)
+    proofs = [small_proof, other]
+    bundle = A.attest_many(proofs, FibonacciAir(), FC,
+                           att_fri_config=ATT_FC, use_device_prover=False)
+    chk = lambda b, ps: A.check_attestations(
+        b, ps, FibonacciAir(), FC, use_device_verifier=False)
+    assert chk(bundle, proofs)
+    # order matters; wrong batch rejected
+    assert not chk(bundle, [other, small_proof])
+    assert not chk(bundle, [small_proof])
+    # tampering one proof's samples kills the whole bundle
+    b = copy.deepcopy(bundle)
+    b.samples[1][0] += 1
+    assert not chk(b, proofs)
+    # a batch containing a bad proof cannot be attested
+    bad = copy.deepcopy(other)
+    bad.opening_proof.fri_proof.pow_witness += 1
+    with pytest.raises(A.CannotAttest):
+        A.attest_many([small_proof, bad], FibonacciAir(), FC,
+                      att_fri_config=ATT_FC, use_device_prover=False)
