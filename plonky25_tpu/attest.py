@@ -329,10 +329,10 @@ def _rows_to_trace(rows: List[_Row], log_n: Optional[int] = None):
         height = 1 << log_n
 
     states = []
-    sel = np.zeros((height, 3), object)
-    bcol = np.zeros((height,), object)
-    m = np.zeros((height, WIDTH), object)
-    mo = np.zeros((height, WIDTH), object)
+    sel = np.zeros((height, 3), np.uint64)
+    bcol = np.zeros((height,), np.uint64)
+    m = np.zeros((height, WIDTH), np.uint64)
+    mo = np.zeros((height, WIDTH), np.uint64)
     prev_out = [0] * WIDTH
     for i, r in enumerate(rows):
         if r.sel == "t":
@@ -358,8 +358,10 @@ def _rows_to_trace(rows: List[_Row], log_n: Optional[int] = None):
     for _ in range(height - R):
         states.append([0] * WIDTH)
 
-    core = gl.to_u64(poseidon2_core_rows(gl.from_u64(
-        np.asarray(states, object))))          # (height, CORE_WIDTH) ints
+    from .fields.goldilocks import to_u64_np
+
+    core = to_u64_np(poseidon2_core_rows(gl.from_u64(
+        np.asarray(states, object))))          # (height, CORE_WIDTH) uint64
 
     return core, sel, bcol, m, mo, height
 
@@ -368,37 +370,38 @@ def _acc_columns(rows, height, gamma):
     """Running accumulator columns (host ints)."""
     import numpy as np
 
-    acc = np.zeros((height, 2), object)
-    acco = np.zeros((height, 2), object)
+    acc = np.zeros((height, 2), np.uint64)
+    acco = np.zeros((height, 2), np.uint64)
+    gpow = [[pow(g, j, P) for j in range(WIDTH + 1)] for g in gamma]
     cur = [0, 0]
     curo = [0, 0]
     for i in range(height):
         if i < len(rows):
             r = rows[i]
-            for k, g in enumerate(gamma):
-                gg = pow(g, WIDTH, P)
-                c = sum((v % P) * pow(g, lane, P)
-                        for lane, v in r.absorbed) % P
-                cur[k] = (cur[k] * gg + c) % P
-                co = sum((v % P) * pow(g, lane, P)
+            for k in range(2):
+                gp = gpow[k]
+                c = sum((v % P) * gp[lane] for lane, v in r.absorbed) % P
+                cur[k] = (cur[k] * gp[WIDTH] + c) % P
+                co = sum((v % P) * gp[lane]
                          for lane, v in zip(r.exposed_lanes,
                                             r.exposed_vals)) % P
-                curo[k] = (curo[k] * gg + co) % P
-        acc[i] = list(cur)
-        acco[i] = list(curo)
+                curo[k] = (curo[k] * gp[WIDTH] + co) % P
+        acc[i] = cur
+        acco[i] = curo
     return acc, acco
 
 
 def build_attestation_trace(rows: List[_Row], gamma,
-                            log_n: Optional[int] = None) -> List[List[int]]:
-    """Full NUM_HASH_COLS-wide row-major trace for HashChainAir."""
+                            log_n: Optional[int] = None):
+    """Full NUM_HASH_COLS-wide row-major trace for HashChainAir as a
+    numeric uint64 array (the prover's vectorized ingest path)."""
     import numpy as np
 
     core, sel, bcol, m, mo, height = _rows_to_trace(rows, log_n)
     acc, acco = _acc_columns(rows, height, gamma)
 
-    trace = np.zeros((height, NUM_HASH_COLS), object)
-    trace[:, :CORE_WIDTH] = np.asarray(core, object)
+    trace = np.zeros((height, NUM_HASH_COLS), np.uint64)
+    trace[:, :CORE_WIDTH] = core
     trace[:, SEL_T] = sel[:, 0]
     trace[:, SEL_C] = sel[:, 1]
     trace[:, SEL_L] = sel[:, 2]
@@ -407,7 +410,7 @@ def build_attestation_trace(rows: List[_Row], gamma,
     trace[:, MO_OFF:MO_OFF + WIDTH] = mo
     trace[:, ACC_OFF:ACC_OFF + 2] = acc
     trace[:, ACCO_OFF:ACCO_OFF + 2] = acco
-    return trace.tolist()
+    return trace
 
 
 # ------------------------------------------------------------- public API

@@ -194,6 +194,13 @@ def to_u64(x: GL) -> np.ndarray:
     return (hi.astype(object) * (1 << 32)) + lo.astype(object)
 
 
+def to_u64_np(x: GL) -> np.ndarray:
+    """Host-side: GL -> numpy uint64 array (canonical values fit)."""
+    lo = np.asarray(x.lo, dtype=np.uint64)
+    hi = np.asarray(x.hi, dtype=np.uint64)
+    return (hi << np.uint64(32)) | lo
+
+
 def add(a: GL, b: GL) -> GL:
     lo, hi, c = _add64(a.lo, a.hi, b.lo, b.hi)
     # s >= p  <=>  s + EPSILON >= 2^64 (counting the 65th bit c)

@@ -100,7 +100,14 @@ def _eval_poly_ext(coeffs: List[int], z) -> tuple:
 
 
 def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
-    """trace: row-major list of rows (height x width), height a power of 2."""
+    """trace: row-major list of rows (height x width), height a power of 2.
+
+    Numeric numpy arrays are accepted and converted to python ints (numpy
+    uint64 scalars overflow silently in this module's bigint math)."""
+    import numpy as _np
+
+    if isinstance(trace, _np.ndarray):
+        trace = trace.tolist()
     height = len(trace)
     width = len(trace[0])
     log_n = log2_strict(height)
