@@ -50,6 +50,23 @@ def _build_tree_jnp(rows: GL):
     return _build_tree_impl(rows, poseidon2_permute)
 
 
+def _build_tree_batched_impl(rows: GL, permute):
+    """Trees for a PROOF BATCH without vmap: rows (B, N, L) -> levels of
+    (B, m, 4).  The proof axis rides the permute's flattened batch, so the
+    backend-aware dispatcher can use the fused Pallas kernel (which a vmap
+    would serialize into a per-proof grid loop)."""
+    levels = [hash_rows(rows, permute)]           # (B, N, 4)
+    while levels[-1].shape[1] > 1:
+        prev = levels[-1]
+        levels.append(compress(prev[:, 0::2], prev[:, 1::2], permute))
+    return tuple(levels)
+
+
+@jax.jit
+def _build_tree_batched(rows: GL):
+    return _build_tree_batched_impl(rows, poseidon2_permute_auto)
+
+
 class DeviceMerkleTree:
     """Poseidon2 MMCS tree over the rows of a base-field matrix on device.
 

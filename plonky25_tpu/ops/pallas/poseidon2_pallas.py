@@ -181,3 +181,121 @@ def poseidon2_permute_pallas(state: GL, block_b: int = 256,
     out_lo = out_lo[:, :b].T.reshape(*batch, WIDTH)
     out_hi = out_hi[:, :b].T.reshape(*batch, WIDTH)
     return GL(out_lo, out_hi)
+
+
+# ---------------------------------------------------------------- SoA form
+# The (12, B) layout above tiles the 12 state rows onto 8-sublane tiles
+# (12 -> 16 rows padded: 25% waste) and the constant tables force
+# relayouts.  The SoA form gives each lane its own (rows, 128) ref — full
+# (8, 128) tile utilization, every op elementwise, and the round constants
+# become SCALAR immediates baked into the kernel.
+
+def _soa_sbox(x: GL) -> GL:
+    x2 = gl.square(x)
+    x4 = gl.square(x2)
+    return gl.mul(gl.mul(x, x2), x4)
+
+
+def _soa_m4(b):
+    """M4 on a list of four GL blocks."""
+    x0, x1, x2, x3 = b
+    t0 = gl.add(x0, x1)
+    t1 = gl.add(x2, x3)
+    t2 = gl.add(t1, gl.double(x1))
+    t3 = gl.add(t0, gl.double(x3))
+    t4 = gl.add(t3, gl.scale_small(t1, 4))
+    t5 = gl.add(t2, gl.scale_small(t0, 4))
+    return [gl.add(t3, t5), t5, gl.add(t2, t4), t4]
+
+
+def _soa_matmul_external(s):
+    blocks = [_soa_m4(s[4 * k:4 * k + 4]) for k in range(3)]
+    stored = [gl.add(gl.add(blocks[0][i], blocks[1][i]), blocks[2][i])
+              for i in range(4)]
+    return [gl.add(blocks[k][i], stored[i])
+            for k in range(3) for i in range(4)]
+
+
+def _soa_kernel(*refs):
+    in_refs, out_refs = refs[:2 * WIDTH], refs[2 * WIDTH:]
+    s = [GL(in_refs[2 * i][:], in_refs[2 * i + 1][:]) for i in range(WIDTH)]
+
+    def rc_gl(v: int) -> GL:
+        return GL(jnp.uint32(v & 0xFFFFFFFF), jnp.uint32(v >> 32))
+
+    s = _soa_matmul_external(s)
+    n_int = len(RC_MID)
+
+    def ext_round(s, r: int):
+        s = [_soa_sbox(gl.add(x, rc_gl(RC[r][i] % P)))
+             for i, x in enumerate(s)]
+        return _soa_matmul_external(s)
+
+    def int_round(s, r: int):
+        lane0 = _soa_sbox(gl.add(s[0], rc_gl(RC_MID[r] % P)))
+        s = [lane0] + s[1:]
+        t = gl.add(gl.add(gl.add(s[0], s[1]), gl.add(s[2], s[3])),
+                   gl.add(gl.add(s[4], s[5]), gl.add(s[6], s[7])))
+        total = gl.add(t, gl.add(gl.add(s[8], s[9]), gl.add(s[10], s[11])))
+        return [gl.add(gl.mul(x, rc_gl((MAT_DIAG_M_1[i] - 1) % P)), total)
+                for i, x in enumerate(s)]
+
+    for r in range(ROUND_F_BEGIN):
+        s = ext_round(s, r)
+    for r in range(n_int):
+        s = int_round(s, r)
+    for r in range(ROUND_F_BEGIN, ROUND_F_END):
+        s = ext_round(s, r)
+
+    for i in range(WIDTH):
+        out_refs[2 * i][:] = s[i].lo
+        out_refs[2 * i + 1][:] = s[i].hi
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _permute_soa(planes, block_rows: int, interpret: bool):
+    """planes: 24 uint32 arrays (R, 128) — lo/hi interleaved per lane."""
+    rows = planes[0].shape[0]
+    grid = (rows // block_rows,)
+    spec = pl.BlockSpec((block_rows, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), U32)] * (2 * WIDTH)
+    return pl.pallas_call(
+        _soa_kernel,
+        grid=grid,
+        in_specs=[spec] * (2 * WIDTH),
+        out_specs=[spec] * (2 * WIDTH),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*planes)
+
+
+def poseidon2_permute_pallas_soa(state: GL, block_rows: int = 256,
+                                 interpret: bool | None = None) -> GL:
+    """SoA-layout fused kernel; bit-identical to poseidon2_permute.
+
+    state (..., 12); the flattened batch is padded to a multiple of
+    128*block_rows and each lane/limb becomes a (rows, 128) plane."""
+    assert state.shape[-1] == WIDTH
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch = state.shape[:-1]
+    b = 1
+    for d in batch:
+        b *= int(d)
+    bp = -(-b // (128 * block_rows)) * (128 * block_rows)
+    lo = state.lo.reshape(b, WIDTH)
+    hi = state.hi.reshape(b, WIDTH)
+    if bp != b:
+        lo = jnp.pad(lo, ((0, bp - b), (0, 0)))
+        hi = jnp.pad(hi, ((0, bp - b), (0, 0)))
+    planes = []
+    for i in range(WIDTH):
+        planes.append(lo[:, i].reshape(-1, 128))
+        planes.append(hi[:, i].reshape(-1, 128))
+    outs = _permute_soa(tuple(planes), block_rows, interpret)
+    out_lo = jnp.stack([outs[2 * i].reshape(-1) for i in range(WIDTH)],
+                       axis=-1)[:b]
+    out_hi = jnp.stack([outs[2 * i + 1].reshape(-1) for i in range(WIDTH)],
+                       axis=-1)[:b]
+    return GL(out_lo.reshape(*batch, WIDTH), out_hi.reshape(*batch, WIDTH))

@@ -9,8 +9,10 @@ sponges — values never cross proofs), and the PoW grind searches all B
 witnesses in shared device-batched windows with per-proof first-hit
 selection (identical witness order to the sequential grind).
 
-Trees use the scan-based jnp permute under vmap (a pallas_call under vmap
-lowers to a serial per-proof grid loop; see ops/mmcs._build_tree_jnp).
+Trees are BATCHED rather than vmapped (ops/mmcs._build_tree_batched): the
+proof axis flattens into the permute batch, so the fused Pallas kernel
+applies on TPU (a pallas_call under vmap would lower to a serial per-proof
+grid loop).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from ..constants import EXT_DEGREE
 from ..fields import gl, gl2
 from ..fields.extension import GL2
 from ..fields.goldilocks import GL
-from ..ops.mmcs import _build_tree_jnp, _open_paths
+from ..ops.mmcs import _build_tree_batched, _open_paths
 from ..proof import (
     BatchOpening,
     Commitment,
@@ -71,7 +73,9 @@ class BatchProver:
         self._chunks = jax.jit(jax.vmap(b._commit_chunks_fn))
         self._opened = jax.jit(jax.vmap(b._opened_fn))
         self._ro = jax.jit(jax.vmap(b._ro_fn))
-        self._tree = jax.jit(jax.vmap(_build_tree_jnp))
+        # batched (not vmapped) trees: the proof axis flattens into the
+        # permute batch so the fused Pallas kernel applies on TPU
+        self._tree = _build_tree_batched
         self._grind_v = jax.jit(jax.vmap(b._grind_fn, in_axes=(0, None)))
         self._folds = {}
         for log_folded in range(b.log_max - 1, fri_config.log_blowup - 1, -1):
