@@ -151,9 +151,12 @@ def _mfu_section(v, w, fc, queries_per_sec):
     # five stages is dominated by merkle+fold hashing; approximate with the
     # batch pipeline's measured q/s against the fold+merkle op model)
     section["note"] = (
-        "mfu = achieved u32 ops/s / VPU int peak (8*128*4 lanes * 1.5GHz); "
-        "count_exact=False means while-loop bodies counted once (lower "
-        "bound on ops, upper bound on true utilization)")
+        "mfu = achieved u32 ops/s / theoretical VPU peak (8*128*4 lanes * "
+        "1.5GHz, an f32-derived UPPER bound); mfu_vs_u32_ceiling divides "
+        "by the measured ~2T ops/s u32 integer ceiling of this part "
+        "(utils/roofline.py calibration note) — the realistic "
+        "speed-of-light.  count_exact=False means while-loop bodies "
+        "counted once (lower bound on ops)")
     return section
 
 

@@ -33,6 +33,16 @@ import numpy as np
 
 VPU_PEAK_V5E = 8 * 128 * 4 * 1.5e9  # u32 ops/s/chip, see module docstring
 
+# Measured integer ceiling (v5e-1, 2026-08-17): VMEM-resident Pallas
+# microkernels running non-collapsible u32 recurrences sustain 0.3-0.75
+# T ops/s on dependent chains; the fully-unrolled Poseidon2 kernel (ample
+# ILP across its 108k-op body) sustains ~1.7 T ops/s.  The f32-derived
+# figure above is NOT achievable for u32 work on this part — integer ops
+# do not get the 4-ALU FMA rate.  MFU is reported against both: `mfu`
+# (vs the theoretical bound, pessimistic) and `mfu_vs_u32_ceiling`
+# (vs this empirical ceiling, the realistic speed-of-light).
+U32_CEILING_V5E = 2.0e12
+
 # Elementwise integer primitives, one ALU op per output element.
 _INT_PRIMS = {
     "add", "sub", "mul", "and", "or", "xor", "not",
@@ -111,6 +121,8 @@ def mfu_report(name: str, ops_per_item: OpCount, items_per_sec: float,
         "achieved_u32_ops_per_sec": achieved,
         "vpu_peak_u32_ops_per_sec": peak,
         "mfu": achieved / peak,
+        "u32_ceiling_ops_per_sec": U32_CEILING_V5E,
+        "mfu_vs_u32_ceiling": achieved / U32_CEILING_V5E,
         "count_exact": ops_per_item.exact,
     }
 
