@@ -82,7 +82,7 @@ class DeviceMerkleTree:
         return self.levels[-1][0]
 
     def root_host(self) -> list:
-        return [int(v) for v in gl.to_u64(self.root)]
+        return [int(v) for v in gl.to_u64_np(self.root)]
 
     def open_paths(self, indices) -> GL:
         """Sibling digests for a batch of leaf indices.

@@ -234,29 +234,29 @@ class BatchProver:
         assert bool(np.asarray(pow_ok)), "PoW self-check failed"
         assert bool(np.asarray(low_degree_ok)), "FRI input not low-degree"
 
-        trace_open = np.asarray(gl.to_u64(_gather_rows(trace_rows, qidx)))
-        q_open = np.asarray(gl.to_u64(_gather_rows(q_rows, qidx)))
-        trace_paths = np.asarray(gl.to_u64(_open_paths_v(trace_levels, qidx)))
-        q_paths = np.asarray(gl.to_u64(_open_paths_v(q_levels, qidx)))
+        trace_open = np.asarray(gl.to_u64_np(_gather_rows(trace_rows, qidx)))
+        q_open = np.asarray(gl.to_u64_np(_gather_rows(q_rows, qidx)))
+        trace_paths = np.asarray(gl.to_u64_np(_open_paths_v(trace_levels, qidx)))
+        q_paths = np.asarray(gl.to_u64_np(_open_paths_v(q_levels, qidx)))
 
         fold_sibs, fold_paths = [], []
         idx_l = qidx
         for l, levels in enumerate(phase_levels):
             sib = _gather_vec(phase_vectors[l], idx_l ^ 1)
-            fold_sibs.append((np.asarray(gl.to_u64(sib.c0)),
-                              np.asarray(gl.to_u64(sib.c1))))
-            fold_paths.append(np.asarray(gl.to_u64(
+            fold_sibs.append((np.asarray(gl.to_u64_np(sib.c0)),
+                              np.asarray(gl.to_u64_np(sib.c1))))
+            fold_paths.append(np.asarray(gl.to_u64_np(
                 _open_paths_v(levels, idx_l >> 1))))
             idx_l = idx_l >> 1
 
-        trace_roots = np.asarray(gl.to_u64(trace_levels[-1][:, 0]))
-        q_roots = np.asarray(gl.to_u64(q_levels[-1][:, 0]))
-        phase_roots = [np.asarray(gl.to_u64(lv[-1][:, 0]))
+        trace_roots = np.asarray(gl.to_u64_np(trace_levels[-1][:, 0]))
+        q_roots = np.asarray(gl.to_u64_np(q_levels[-1][:, 0]))
+        phase_roots = [np.asarray(gl.to_u64_np(lv[-1][:, 0]))
                        for lv in phase_levels]
-        tl_h = (np.asarray(gl.to_u64(tl.c0)), np.asarray(gl.to_u64(tl.c1)))
-        tn_h = (np.asarray(gl.to_u64(tn.c0)), np.asarray(gl.to_u64(tn.c1)))
-        qc_h = (np.asarray(gl.to_u64(qc.c0)), np.asarray(gl.to_u64(qc.c1)))
-        fp_h = (np.asarray(gl.to_u64(u.c0[:, 0])), np.asarray(gl.to_u64(u.c1[:, 0])))
+        tl_h = (np.asarray(gl.to_u64_np(tl.c0)), np.asarray(gl.to_u64_np(tl.c1)))
+        tn_h = (np.asarray(gl.to_u64_np(tn.c0)), np.asarray(gl.to_u64_np(tn.c1)))
+        qc_h = (np.asarray(gl.to_u64_np(qc.c0)), np.asarray(gl.to_u64_np(qc.c1)))
+        fp_h = (np.asarray(gl.to_u64_np(u.c0[:, 0])), np.asarray(gl.to_u64_np(u.c1[:, 0])))
         wit_h = np.asarray(wit)
 
         D = EXT_DEGREE

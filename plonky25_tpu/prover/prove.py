@@ -51,8 +51,8 @@ def _bitrev_idx(log_n: int) -> jnp.ndarray:
 
 def _ext_pull(x: GL2):
     """Device GL2 (k,) -> list of (c0, c1) int tuples."""
-    c0 = gl.to_u64(x.c0)
-    c1 = gl.to_u64(x.c1)
+    c0 = gl.to_u64_np(x.c0)
+    c1 = gl.to_u64_np(x.c1)
     if np.ndim(c0) == 0:
         return (int(c0), int(c1))
     return [(int(a), int(b)) for a, b in zip(c0, c1)]
@@ -463,39 +463,67 @@ class TpuProver:
         # queries: one jitted dispatch for all index samples
         qidx = ch.sample_many_bits(fc.num_queries, self.log_max)
 
-        # ---- assembly: the only device->host pulls of the proof
-        assert bool(np.asarray(pow_ok)), "PoW self-check failed"
-        assert bool(np.asarray(low_degree_ok)), "FRI input not low-degree"
+        # ---- assembly: EVERY device->host pull batched into one
+        # device_get (each individual np.asarray is a blocking tunnel
+        # round trip, ~70ms; the ~45 of them here dominated single-proof
+        # latency — measured 3.9s re-prove with only 0.46s of pipeline)
+        pulls = {
+            "pow_ok": pow_ok,
+            "low_degree_ok": low_degree_ok,
+            "qidx": qidx,
+            "trace_root": trace_tree.root,
+            "q_root": quotient_tree.root,
+            "phase_roots": [t.root for t in commit_phase_trees],
+            "tl": tl, "tn": tn, "qc": qc,
+            "final": GL2(u.c0[0], u.c1[0]),
+            "trace_open_rows": trace_rows[qidx],
+            "q_open_rows": q_rows[qidx],
+            "trace_paths": trace_tree.open_paths(qidx),
+            "q_paths": quotient_tree.open_paths(qidx),
+        }
+        idx_l = qidx
+        for l, tree in enumerate(commit_phase_trees):
+            pulls[f"fold_sib_{l}"] = commit_phase_vectors[l][idx_l ^ 1]
+            pulls[f"fold_paths_{l}"] = tree.open_paths(idx_l >> 1)
+            idx_l = idx_l >> 1
+        host = jax.device_get(pulls)
 
-        trace_commit = trace_tree.root_host()
-        quotient_commit = quotient_tree.root_host()
-        commit_phase_commits = [Commitment(value=t.root_host())
-                                for t in commit_phase_trees]
+        assert bool(host["pow_ok"]), "PoW self-check failed"
+        assert bool(host["low_degree_ok"]), "FRI input not low-degree"
+
+        def ext_pull_h(x: GL2):
+            c0 = gl.to_u64_np(x.c0)
+            c1 = gl.to_u64_np(x.c1)
+            if c0.ndim == 0:
+                return (int(c0), int(c1))
+            return [(int(a), int(b)) for a, b in zip(c0, c1)]
+
+        trace_commit = [int(v) for v in gl.to_u64_np(host["trace_root"])]
+        quotient_commit = [int(v) for v in gl.to_u64_np(host["q_root"])]
+        commit_phase_commits = [
+            Commitment(value=[int(v) for v in gl.to_u64_np(r)])
+            for r in host["phase_roots"]
+        ]
+        qc_h = host["qc"]
         opened = OpenedValues(
-            trace_local=_ext_pull(tl),
-            trace_next=_ext_pull(tn),
+            trace_local=ext_pull_h(host["tl"]),
+            trace_next=ext_pull_h(host["tn"]),
             quotient_chunks=[
-                _ext_pull(GL2(qc.c0[ci], qc.c1[ci]))
+                ext_pull_h(GL2(qc_h.c0[ci], qc_h.c1[ci]))
                 for ci in range(self.n_chunks)
             ],
         )
-        final_poly = _ext_pull(GL2(u.c0[0], u.c1[0]))
-        query_indices = [int(v) for v in np.asarray(qidx)]
+        final_poly = ext_pull_h(host["final"])
+        query_indices = [int(v) for v in host["qidx"]]
 
-        trace_open_rows = np.asarray(gl.to_u64(trace_rows[qidx]))   # (Q, W)
-        q_open_rows = np.asarray(gl.to_u64(q_rows[qidx]))           # (Q, ch*D)
-        trace_paths = np.asarray(gl.to_u64(trace_tree.open_paths(qidx)))
-        q_paths = np.asarray(gl.to_u64(quotient_tree.open_paths(qidx)))
-
-        fold_sibs = []   # per level: values + paths
-        fold_paths = []
-        idx_l = qidx
-        for l, tree in enumerate(commit_phase_trees):
-            vec = commit_phase_vectors[l]
-            sib = vec[idx_l ^ 1]
-            fold_sibs.append(_ext_pull(sib))
-            fold_paths.append(np.asarray(gl.to_u64(tree.open_paths(idx_l >> 1))))
-            idx_l = idx_l >> 1
+        trace_open_rows = gl.to_u64_np(host["trace_open_rows"])  # (Q, W)
+        q_open_rows = gl.to_u64_np(host["q_open_rows"])          # (Q, ch*D)
+        trace_paths = gl.to_u64_np(host["trace_paths"])
+        q_paths = gl.to_u64_np(host["q_paths"])
+        fold_sibs = [ext_pull_h(host[f"fold_sib_{l}"])
+                     for l in range(len(commit_phase_trees))]
+        fold_paths = [gl.to_u64_np(host[f"fold_paths_{l}"])
+                      for l in range(len(commit_phase_trees))]
 
         D = EXT_DEGREE
         query_openings = []
