@@ -64,8 +64,10 @@ _open_paths_v = jax.jit(jax.vmap(_open_paths))
 class BatchProver:
     """Prove a batch of same-shape traces in one vmapped pipeline."""
 
-    def __init__(self, air: Air, log_n: int, fri_config: FriConfig):
-        self.base = TpuProver(air, log_n, fri_config)
+    def __init__(self, air: Air, log_n: int, fri_config: FriConfig,
+                 quotient_eval_chunks: int = 1):
+        self.base = TpuProver(air, log_n, fri_config,
+                              quotient_eval_chunks=quotient_eval_chunks)
         b = self.base
         self._c_trace = jax.jit(jax.vmap(b._commit_trace_fn))
         # publics broadcast across the batch (same-bundle batches)
@@ -329,13 +331,16 @@ _batch_prover_cache: Dict = {}
 
 
 def prove_batch_on_device(air: Air, traces: List[List[List[int]]],
-                          fri_config: FriConfig, warmup: bool = True) -> List[Proof]:
+                          fri_config: FriConfig, warmup: bool = True,
+                          quotient_eval_chunks: int = 1) -> List[Proof]:
     log_n = log2_strict(len(traces[0]))
     key = (air.name(), air.width(), log_n, fri_config.log_blowup,
-           fri_config.num_queries, fri_config.proof_of_work_bits)
+           fri_config.num_queries, fri_config.proof_of_work_bits,
+           quotient_eval_chunks)
     p = _batch_prover_cache.get(key)
     if p is None:
-        p = BatchProver(air, log_n, fri_config)
+        p = BatchProver(air, log_n, fri_config,
+                        quotient_eval_chunks=quotient_eval_chunks)
         _batch_prover_cache[key] = p
     # concurrent warmup only pays where compiles go to the remote TPU
     # service; on CPU the thread pool just serializes on one core.  Keyed

@@ -76,17 +76,24 @@ class TpuProver:
     """Shape-specialized device prover; jitted stages cached per instance."""
 
     def __init__(self, air: Air, log_n: int, fri_config: FriConfig,
-                 lde_mesh=None, lde_log_rows: int = 3):
+                 lde_mesh=None, lde_log_rows: int = 3,
+                 quotient_eval_chunks: int = 1):
         # lde_mesh: optional 1-D jax.sharding.Mesh; the trace-LDE NTT then
         # runs through the four-step factorization with its row axis on the
         # mesh (all-to-all butterfly exchange over ICI; ops/ntt.py
         # coset_ntt_four_step).  Proof bytes are identical either way
         # (tests/test_ntt.py::test_prover_lde_four_step_sharded).
+        # quotient_eval_chunks: evaluate the constraint fold over the
+        # quotient domain in this many point segments (lax.map) — wide
+        # AIRs' eval intermediates (Keccak gathers (1600, q) bit arrays)
+        # dominate peak HBM; chunking divides them by S at identical
+        # proof bytes.
         self.air = air
         self.log_n = log_n
         self.fc = fri_config
         self.lde_mesh = lde_mesh
         self.lde_log_rows = lde_log_rows
+        self.quotient_eval_chunks = quotient_eval_chunks
         self.width = air.width()
         self.lqd = log2_ceil(getattr(air, "quotient_degree", lambda: 1)())
         self.n_chunks = 1 << self.lqd
@@ -155,23 +162,67 @@ class TpuProver:
         is_trans = ext0(d_last)
         inv_zeroifier = invs[2]
 
-        main = _MainVec(
-            GL2(locals_, gl.zeros(locals_.shape)),
-            GL2(nexts, gl.zeros(nexts.shape)),
-            self.width,
-        )
-        folder = VerifierConstraintFolder(
-            ops=gl2.Ops((q_size,)),
-            main=main,
-            is_first_row=is_first,
-            is_last_row=is_last,
-            is_transition=is_trans,
-            alpha=alpha,
-            publics=publics,
-        )
-        self.air.eval(folder)
-        acc = folder.accumulator                          # (q,) ext
-        return gl2.mul_base(acc, inv_zeroifier)
+        S = self.quotient_eval_chunks
+        if S == 1:
+            main = _MainVec(
+                GL2(locals_, gl.zeros(locals_.shape)),
+                GL2(nexts, gl.zeros(nexts.shape)),
+                self.width,
+            )
+            folder = VerifierConstraintFolder(
+                ops=gl2.Ops((q_size,)),
+                main=main,
+                is_first_row=is_first,
+                is_last_row=is_last,
+                is_transition=is_trans,
+                alpha=alpha,
+                publics=publics,
+            )
+            self.air.eval(folder)
+            acc = folder.accumulator                      # (q,) ext
+            return gl2.mul_base(acc, inv_zeroifier)
+
+        # chunked: lax.map over S point segments (one traced eval body)
+        qc_size = q_size // S
+        assert qc_size * S == q_size
+
+        def seg(a):
+            return jnp.moveaxis(a.reshape(a.shape[:-1] + (S, qc_size)),
+                                -2, 0)
+
+        def seg_gl(x: GL):
+            return GL(seg(x.lo), seg(x.hi))
+
+        def seg_ext(x: GL2):
+            return GL2(seg_gl(x.c0), seg_gl(x.c1))
+
+        xs_seg = (seg_gl(locals_), seg_gl(nexts), seg_ext(is_first),
+                  seg_ext(is_last), seg_ext(is_trans), seg_gl(inv_zeroifier))
+
+        def body(args):
+            loc, nxt, s_first, s_last, s_trans, invz = args
+            main = _MainVec(
+                GL2(loc, gl.zeros(loc.shape)),
+                GL2(nxt, gl.zeros(nxt.shape)),
+                self.width,
+            )
+            folder = VerifierConstraintFolder(
+                ops=gl2.Ops((qc_size,)),
+                main=main,
+                is_first_row=s_first,
+                is_last_row=s_last,
+                is_transition=s_trans,
+                alpha=alpha,
+                publics=publics,
+            )
+            self.air.eval(folder)
+            return gl2.mul_base(folder.accumulator, invz)
+
+        acc = jax.lax.map(body, xs_seg)                  # (S, qc) ext
+        flat = lambda a: jnp.moveaxis(a, 0, -2).reshape(
+            a.shape[1:-1] + (q_size,))
+        return GL2(GL(flat(acc.c0.lo), flat(acc.c0.hi)),
+                   GL(flat(acc.c1.lo), flat(acc.c1.hi)))
 
     def _commit_chunks_fn(self, q_evals: GL2):
         """Split quotient evals into chunks, LDE-commit each as EXT_DEGREE

@@ -64,12 +64,16 @@ def main():
         print("verifies:",
               bool(np.asarray(verify_proof(proof, air, fc).ok)))
     else:
+        # chunk the constraint eval so wide-AIR intermediates fit HBM at
+        # large B (B=16 un-chunked OOMs at 20.6G on v5e-1)
+        qec = 4 if batch >= 8 else 1  # must divide the quotient size (2^k)
         traces = [rows] * batch
         t0 = time.time()
-        prove_batch_on_device(air, traces, fc)
+        prove_batch_on_device(air, traces, fc, quotient_eval_chunks=qec)
         print(f"first batch prove (incl. compile): {time.time() - t0:.1f}s")
         t0 = time.time()
-        proofs = prove_batch_on_device(air, traces, fc)
+        proofs = prove_batch_on_device(air, traces, fc,
+                                       quotient_eval_chunks=qec)
         dt = time.time() - t0
         print(f"batch re-prove B={batch}: {dt:.2f}s "
               f"({batch * n_perms / dt:.1f} keccak-f proved/s/chip)")
