@@ -312,11 +312,9 @@ def fold_accumulators(rows: List[_Row], gamma: Tuple[int, int]):
 
 # ----------------------------------------------------------- trace build
 
-def _rows_to_trace(rows: List[_Row], log_n: Optional[int] = None):
-    """Host states + chain columns -> full row-major int trace.
-
-    Sequentially replays the permutations (host ints) to resolve chained
-    inputs, then computes the core aux columns on device in one batch."""
+def _rows_to_trace_host(rows: List[_Row], log_n: Optional[int] = None):
+    """Sequential-host oracle for _rows_to_trace (kept as the executable
+    spec the level-synchronous builder is tested against)."""
     import numpy as np
 
     from .fields import gl
@@ -366,6 +364,85 @@ def _rows_to_trace(rows: List[_Row], log_n: Optional[int] = None):
     return core, sel, bcol, m, mo, height
 
 
+def _rows_to_trace(rows: List[_Row], log_n: Optional[int] = None):
+    """Chain columns + core columns from the row schedule.
+
+    Chained input states are resolved LEVEL-SYNCHRONOUSLY: all chains
+    advance together, one batched device permutation per chain level
+    (padded to the chain count so every level shares one compiled shape).
+    The sequential host replay this replaces (_rows_to_trace_host) costs
+    ~4-5ms per permutation — ~20s of the golden attestation's warm
+    latency."""
+    import numpy as np
+
+    from .fields import gl
+    from .fields.goldilocks import to_u64_np
+    from .models.poseidon2_air import poseidon2_core_rows
+    from .ops.poseidon2 import poseidon2_permute
+
+    R = len(rows)
+    height = 1 << (max(R, 2) - 1).bit_length()
+    if log_n is not None:
+        assert height <= (1 << log_n), "schedule exceeds requested height"
+        height = 1 << log_n
+
+    sel = np.zeros((height, 3), np.uint64)
+    bcol = np.zeros((height,), np.uint64)
+    m = np.zeros((height, WIDTH), np.uint64)
+    mo = np.zeros((height, WIDTH), np.uint64)
+    absorbed = np.zeros((R, WIDTH), np.uint64)
+    chains: List[List[int]] = []
+    for i, r in enumerate(rows):
+        sel[i, {"t": 0, "c": 1, "l": 2}[r.sel]] = 1
+        bcol[i] = r.b
+        for lane, v in r.absorbed:
+            absorbed[i, lane] = v % P
+            m[i, lane] = 1
+        for lane in r.exposed_lanes:
+            mo[i, lane] = 1
+        if r.sel == "l":
+            chains.append([i])
+        else:
+            assert chains, "schedule must open with a chain start"
+            chains[-1].append(i)
+
+    n_chains = len(chains)
+    maxlen = max(len(c) for c in chains) if chains else 0
+    states_np = np.zeros((height, WIDTH), np.uint64)
+    out_np = np.zeros((R, WIDTH), np.uint64)
+    perm = poseidon2_permute          # module-level jit: warm caches stick
+    for k in range(maxlen):
+        live = [c for c in chains if len(c) > k]
+        idxs = np.asarray([c[k] for c in live])
+        if k == 0:
+            ins = absorbed[idxs].copy()        # chain starts: zeros + data
+        else:
+            pouts = out_np[np.asarray([c[k - 1] for c in live])]
+            is_c = sel[idxs, 1] == 1
+            # transcript rows copy the full previous output
+            base = np.where((sel[idxs, 0] == 1)[:, None], pouts, 0)
+            # compress rows: digest on the non-sibling side per b
+            dig = pouts[:, :4]
+            b_here = bcol[idxs] == 1
+            left = np.where((is_c & ~b_here)[:, None], dig, base[:, 0:4])
+            right = np.where((is_c & b_here)[:, None], dig, base[:, 4:8])
+            base = np.concatenate([left, right, base[:, 8:]], axis=1)
+            ins = np.where(m[idxs] == 1, absorbed[idxs], base)
+        states_np[idxs] = ins
+        # one padded device dispatch per level (stable compile shape)
+        batch = np.zeros((n_chains, WIDTH), np.uint64)
+        batch[: len(idxs)] = ins
+        outs = to_u64_np(perm(gl.from_u64(batch)))[: len(idxs)]
+        out_np[idxs] = outs
+
+    # core columns STAY ON DEVICE: pulling the (height, 490) block costs
+    # ~10s over the axon tunnel at golden size; the device prover consumes
+    # device columns directly (build_attestation_trace_cols)
+    core_dev = poseidon2_core_rows(gl.from_u64(states_np))
+
+    return core_dev, sel, bcol, m, mo, height
+
+
 def _acc_columns(rows, height, gamma):
     """Running accumulator columns (host ints)."""
     import numpy as np
@@ -391,26 +468,53 @@ def _acc_columns(rows, height, gamma):
     return acc, acco
 
 
-def build_attestation_trace(rows: List[_Row], gamma,
-                            log_n: Optional[int] = None):
-    """Full NUM_HASH_COLS-wide row-major trace for HashChainAir as a
-    numeric uint64 array (the prover's vectorized ingest path)."""
+def _chain_cols(rows, gamma, sel, bcol, m, mo, height):
+    """The non-core columns as one (height, NUM_HASH_COLS-CORE_WIDTH)
+    uint64 block."""
     import numpy as np
 
-    core, sel, bcol, m, mo, height = _rows_to_trace(rows, log_n)
     acc, acco = _acc_columns(rows, height, gamma)
+    k = NUM_HASH_COLS - CORE_WIDTH
+    blk = np.zeros((height, k), np.uint64)
+    blk[:, SEL_T - CORE_WIDTH] = sel[:, 0]
+    blk[:, SEL_C - CORE_WIDTH] = sel[:, 1]
+    blk[:, SEL_L - CORE_WIDTH] = sel[:, 2]
+    blk[:, B_COL - CORE_WIDTH] = bcol
+    blk[:, M_OFF - CORE_WIDTH:M_OFF - CORE_WIDTH + WIDTH] = m
+    blk[:, MO_OFF - CORE_WIDTH:MO_OFF - CORE_WIDTH + WIDTH] = mo
+    blk[:, ACC_OFF - CORE_WIDTH:ACC_OFF - CORE_WIDTH + 2] = acc
+    blk[:, ACCO_OFF - CORE_WIDTH:ACCO_OFF - CORE_WIDTH + 2] = acco
+    return blk
 
+
+def build_attestation_trace(rows: List[_Row], gamma,
+                            log_n: Optional[int] = None):
+    """Row-major host uint64 trace (the int-oracle prover's ingest)."""
+    import numpy as np
+
+    from .fields.goldilocks import to_u64_np
+
+    core_dev, sel, bcol, m, mo, height = _rows_to_trace(rows, log_n)
     trace = np.zeros((height, NUM_HASH_COLS), np.uint64)
-    trace[:, :CORE_WIDTH] = core
-    trace[:, SEL_T] = sel[:, 0]
-    trace[:, SEL_C] = sel[:, 1]
-    trace[:, SEL_L] = sel[:, 2]
-    trace[:, B_COL] = bcol
-    trace[:, M_OFF:M_OFF + WIDTH] = m
-    trace[:, MO_OFF:MO_OFF + WIDTH] = mo
-    trace[:, ACC_OFF:ACC_OFF + 2] = acc
-    trace[:, ACCO_OFF:ACCO_OFF + 2] = acco
+    trace[:, :CORE_WIDTH] = to_u64_np(core_dev)
+    trace[:, CORE_WIDTH:] = _chain_cols(rows, gamma, sel, bcol, m, mo,
+                                        height)
     return trace
+
+
+def build_attestation_trace_cols(rows: List[_Row], gamma,
+                                 log_n: Optional[int] = None):
+    """Device column-major GL (NUM_HASH_COLS, height) trace — the device
+    prover's ingest, with the core columns never leaving the device."""
+    from .fields import gl
+
+    core_dev, sel, bcol, m, mo, height = _rows_to_trace(rows, log_n)
+    chain_dev = gl.from_u64(_chain_cols(rows, gamma, sel, bcol, m, mo,
+                                        height))
+    full = gl.concatenate([core_dev, chain_dev], axis=-1)  # (H, W)
+    from .fields.goldilocks import GL as _GL
+
+    return _GL(full.lo.T, full.hi.T)
 
 
 # ------------------------------------------------------------- public API
@@ -433,7 +537,6 @@ def attest(proof: Proof, air, fri_config: FriConfig,
     rows = build_row_schedule(proof, config, ch.samples, tr.fold_leaves)
     gamma = derive_gammas(rows)
     acc, acc_out = fold_accumulators(rows, gamma)
-    trace = build_attestation_trace(rows, gamma)
 
     att_fc = att_fri_config or FriConfig(
         log_blowup=1, num_queries=100, proof_of_work_bits=16)
@@ -442,11 +545,12 @@ def attest(proof: Proof, air, fri_config: FriConfig,
     if use_device_prover:
         from .prover import prove_on_device
 
-        stark = prove_on_device(hc_air, trace, att_fc)
+        cols = build_attestation_trace_cols(rows, gamma)
+        stark = prove_on_device(hc_air, cols, att_fc)
     else:
         from .refimpl.prover import prove
 
-        stark = prove(hc_air, trace, att_fc)
+        stark = prove(hc_air, build_attestation_trace(rows, gamma), att_fc)
     return AttestationBundle(
         stark=stark, samples=list(ch.samples), gamma=gamma, acc=acc,
         acc_out=acc_out, att_fri_config=att_fc, n_rows=len(rows))
@@ -543,7 +647,6 @@ def attest_many(proofs: List[Proof], air, fri_config: FriConfig,
     rows = _multi_rows(proofs, air, fri_config, samples_list, leaves_list)
     gamma = derive_gammas(rows)
     acc, acc_out = fold_accumulators(rows, gamma)
-    trace = build_attestation_trace(rows, gamma)
 
     att_fc = att_fri_config or FriConfig(
         log_blowup=1, num_queries=100, proof_of_work_bits=16)
@@ -551,11 +654,12 @@ def attest_many(proofs: List[Proof], air, fri_config: FriConfig,
     if use_device_prover:
         from .prover import prove_on_device
 
-        stark = prove_on_device(hc_air, trace, att_fc)
+        stark = prove_on_device(
+            hc_air, build_attestation_trace_cols(rows, gamma), att_fc)
     else:
         from .refimpl.prover import prove
 
-        stark = prove(hc_air, trace, att_fc)
+        stark = prove(hc_air, build_attestation_trace(rows, gamma), att_fc)
     return MultiAttestationBundle(
         stark=stark, samples=[list(s) for s in samples_list], gamma=gamma,
         acc=acc, acc_out=acc_out, att_fri_config=att_fc, n_rows=len(rows))

@@ -445,15 +445,20 @@ class TpuProver:
         phase."""
         fc = self.fc
         H = 1 << self.log_n
-        assert len(trace_rows_host) == H and len(trace_rows_host[0]) == self.width
         ch = DeviceChallenger()
 
-        if (isinstance(trace_rows_host, np.ndarray)
-                and trace_rows_host.dtype != object):
-            cols_np = trace_rows_host.T           # numeric fast path
+        if isinstance(trace_rows_host, GL):
+            cols = trace_rows_host                # device columns (W, H)
+            assert cols.shape == (self.width, H), cols.shape
         else:
-            cols_np = np.asarray(trace_rows_host, dtype=object).T  # (W, H)
-        cols = gl.from_u64(cols_np)
+            assert (len(trace_rows_host) == H
+                    and len(trace_rows_host[0]) == self.width)
+            if (isinstance(trace_rows_host, np.ndarray)
+                    and trace_rows_host.dtype != object):
+                cols_np = trace_rows_host.T       # numeric fast path
+            else:
+                cols_np = np.asarray(trace_rows_host, dtype=object).T
+            cols = gl.from_u64(cols_np)
 
         # commit trace
         trace_rows = self._s_commit_trace(cols)                 # (N, W)
@@ -627,9 +632,14 @@ class TpuProver:
 _prover_cache: Dict = {}
 
 
-def prove_on_device(air: Air, trace_rows: List[List[int]],
+def prove_on_device(air: Air, trace_rows,
                     fri_config: FriConfig, warmup: bool = True) -> Proof:
-    log_n = log2_strict(len(trace_rows))
+    """trace_rows: row-major host rows/ndarray, or a device GL of
+    COLUMNS (width, height)."""
+    if isinstance(trace_rows, GL):
+        log_n = log2_strict(trace_rows.shape[1])
+    else:
+        log_n = log2_strict(len(trace_rows))
     key = (air.name(), air.width(), log_n, fri_config.log_blowup,
            fri_config.num_queries, fri_config.proof_of_work_bits)
     p = _prover_cache.get(key)

@@ -176,3 +176,20 @@ def test_attest_many_aggregates(small_proof):
     with pytest.raises(A.CannotAttest):
         A.attest_many([small_proof, bad], FibonacciAir(), FC,
                       att_fri_config=ATT_FC, use_device_prover=False)
+
+
+def test_level_sync_builder_matches_host_oracle(attestation_parts):
+    from plonky25_tpu.fields.goldilocks import to_u64_np
+
+    _, _, rows, gamma, acc, acco, trace = attestation_parts
+    core_h, sel_h, b_h, m_h, mo_h, h_h = A._rows_to_trace_host(rows)
+    core_d, sel_f, b_f, m_f, mo_f, h_f = A._rows_to_trace(rows)
+    assert h_h == h_f
+    assert np.array_equal(np.asarray(core_h, dtype=np.uint64),
+                          to_u64_np(core_d))
+    assert np.array_equal(sel_h, sel_f) and np.array_equal(b_h, b_f)
+    assert np.array_equal(m_h, m_f) and np.array_equal(mo_h, mo_f)
+    # the device-column form matches the host row-major trace
+    cols = A.build_attestation_trace_cols(rows, gamma)
+    host = A.build_attestation_trace(rows, gamma)
+    assert np.array_equal(to_u64_np(cols).T, host)
