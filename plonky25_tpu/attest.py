@@ -273,9 +273,16 @@ def build_row_schedule(proof: Proof, config, samples: List[int],
 # ----------------------------------------------------------- accumulators
 
 def derive_gammas(rows: List[_Row]) -> Tuple[int, int]:
-    """gammas = Poseidon2 sponge digest of the canonical absorbed+exposed
-    sequence (so the binding point depends on the data itself)."""
-    from .refimpl.commit import hash_iter_slices
+    """gammas = Poseidon2 MERKLE-TREE digest of the canonical
+    absorbed+exposed sequence (so the binding point depends on the data
+    itself).  A tree, not a sponge: the ~50k-value golden sequence hashes
+    in one batched device pass instead of a 12.5k-permutation sequential
+    chain (~3s of host python)."""
+    import numpy as np
+
+    from .fields import gl
+    from .fields.goldilocks import to_u64_np
+    from .ops.mmcs import _build_tree
 
     seq: List[int] = [len(rows)]
     for r in rows:
@@ -285,8 +292,13 @@ def derive_gammas(rows: List[_Row]) -> Tuple[int, int]:
         for lane, v in zip(r.exposed_lanes, r.exposed_vals):
             seq.append(WIDTH + lane)
             seq.append(v % P)
-    d = hash_iter_slices([seq])
-    g1, g2 = d[0], d[1]
+    arr = np.zeros(( -(-len(seq) // 4), 4), np.uint64)
+    arr.reshape(-1)[: len(seq)] = seq
+    n_leaves = 1 << (max(len(arr), 2) - 1).bit_length()
+    if n_leaves != len(arr):
+        arr = np.vstack([arr, np.zeros((n_leaves - len(arr), 4), np.uint64)])
+    root = to_u64_np(_build_tree(gl.from_u64(arr))[-1][0])
+    g1, g2 = int(root[0]), int(root[1])
     # gamma = 0 would erase the binding; astronomically unlikely, but be
     # total about it
     return (g1 or 1, g2 or 1)

@@ -128,7 +128,7 @@ M_INT = _m_int()
 
 # ---------------------------------------------------------- trace (device)
 
-def poseidon2_core_rows(states):
+def _poseidon2_core_rows_impl(states):
     """Device core-column trace: GL (R, 12) inputs -> GL (R, CORE_WIDTH).
 
     Mirrors ops.poseidon2.poseidon2_permute while storing each S-box cube
@@ -170,6 +170,13 @@ def poseidon2_core_rows(states):
     from ..fields import gl as _gl
 
     return _gl.concatenate(cols, axis=-1)
+
+
+import jax as _jax
+
+# jitted: the ~450 eager per-round ops otherwise cost one tunnel dispatch
+# each (~11s for the golden attestation's 8192-row trace)
+poseidon2_core_rows = _jax.jit(_poseidon2_core_rows_impl)
 
 
 # ------------------------------------------------------------------- AIR
