@@ -46,7 +46,37 @@ def run(proof, fc, att_fc, label):
     print(f"{label}: re-attest (warm) {time.time() - t0:.1f}s", flush=True)
 
 
+def run_many(n: int):
+    """Aggregate n golden-size verifications into ONE attestation STARK."""
+    from plonky25_tpu.attest import attest_many, check_attestations
+
+    proof = load_proof(ARTIFACT)
+    fc = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    att_fc = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    proofs = [proof] * n
+    t0 = time.time()
+    bundle = attest_many(proofs, FibonacciAir(), fc, att_fri_config=att_fc)
+    t_att = time.time() - t0
+    print(f"many({n}): attest {t_att:.1f}s "
+          f"(stark 2^{bundle.stark.degree_bits} x 522, "
+          f"{bundle.n_rows} rows, {n / t_att:.2f} verifications "
+          "attested/s)", flush=True)
+    t0 = time.time()
+    ok = check_attestations(bundle, proofs, FibonacciAir(), fc)
+    print(f"many({n}): check {time.time() - t0:.1f}s -> {ok}", flush=True)
+    assert ok
+    t0 = time.time()
+    bundle = attest_many(proofs, FibonacciAir(), fc, att_fri_config=att_fc)
+    t_att = time.time() - t0
+    print(f"many({n}): re-attest (warm) {t_att:.1f}s = "
+          f"{n / t_att:.2f} verifications attested/s", flush=True)
+
+
 def main():
+    if "--many" in sys.argv:
+        i = sys.argv.index("--many")
+        run_many(int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 4)
+        return
     if "--small" in sys.argv:
         from plonky25_tpu.refimpl.prover import prove
 
