@@ -143,10 +143,14 @@ def test_coset_ntt_four_step_matches():
     assert list(got) == list(want)
 
 
+@pytest.mark.slow
 def test_prover_lde_four_step_sharded():
     """A prover whose trace-LDE runs the mesh-sharded four-step NTT
     produces BYTE-IDENTICAL proofs (VERDICT r1 weak #7: make the
-    factorization load-bearing)."""
+    factorization load-bearing).  Slow tier: two full prover builds whose
+    modules recompile after any prover-source change (~4min cold on this
+    CPU); __graft_entry__.dryrun_multichip exercises the same path every
+    round."""
     import dataclasses
 
     from plonky25_tpu.models.fibonacci import FibonacciAir, fibonacci_trace
