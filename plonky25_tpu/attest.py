@@ -531,6 +531,60 @@ def build_attestation_trace_cols(rows: List[_Row], gamma,
 
 # ------------------------------------------------------------- public API
 
+def _device_instrumented_verify(proof: Proof, air, fri_config: FriConfig):
+    """Device verification that also yields the raw Fiat-Shamir samples
+    and the per-(query, level) fold leaf pairs the row schedule needs —
+    replaces the ~1.5s/proof python oracle on the attest path.  Returns
+    (ok, samples, fold_leaves)."""
+    import jax
+    import numpy as np
+
+    from .fields.goldilocks import to_u64_np
+    from .verifier import _publics_device, get_verifier
+    from .witness import pack_witness
+
+    config = derive_config(proof, fri_config)
+    v = get_verifier(air, config)
+    if not v.check_shape(proof):
+        return False, [], []
+    w = pack_witness(proof, config)
+    t = v._s_transcript(w["obs"])
+    index = t["index"]
+    merkle_ok = None
+    for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+        okb = v._s_batch(index, w["batch_values"][b], w["batch_sibs"][b],
+                         commit)
+        merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
+    ro_stack = v._s_ro(
+        index, t["zeta"], t["zeta_next"], t["alpha_fri"],
+        tuple(w["batch_values"]),
+        w["trace_local"], w["trace_next"], w["quotient_chunks"],
+    )
+    fold_ok, e0s, e1s = v._s_fold(
+        index, t["phase_commits"], t["betas_stack"],
+        w["fold_sibling_values"], ro_stack, w["fold_sibs"],
+        w["final_poly"], record=True,
+    )
+    quotient_ok = v._s_final(
+        t["alpha"], t["zeta"], w["trace_local"], w["trace_next"],
+        w["quotient_chunks"], _publics_device(air),
+    )
+    host = jax.device_get({
+        "ok": t["pow_ok"] & jax.numpy.all(merkle_ok) & fold_ok & quotient_ok,
+        "samples": t["samples"], "e0": e0s, "e1": e1s,
+    })
+    samples = [int(x) for x in to_u64_np(host["samples"])]
+    e0 = to_u64_np(host["e0"].c0), to_u64_np(host["e0"].c1)   # (L, Q)
+    e1 = to_u64_np(host["e1"].c0), to_u64_np(host["e1"].c1)
+    L, Q = e0[0].shape
+    fold_leaves = [
+        [((int(e0[0][l, q]), int(e0[1][l, q])),
+          (int(e1[0][l, q]), int(e1[1][l, q]))) for l in range(L)]
+        for q in range(Q)
+    ]
+    return bool(host["ok"]), samples, fold_leaves
+
+
 def attest(proof: Proof, air, fri_config: FriConfig,
            att_fri_config: Optional[FriConfig] = None,
            use_device_prover: bool = True) -> AttestationBundle:
@@ -538,15 +592,23 @@ def attest(proof: Proof, air, fri_config: FriConfig,
 
     Raises CannotAttest if the proof does not verify — a failed
     verification cannot be attested."""
-    ch = _RecordingChallenger()
-    tr = refimpl_verify(proof, air, fri_config, challenger=ch)
-    if not tr.ok:
-        raise CannotAttest(
-            f"verification failed (pow={tr.pow_ok} merkle={tr.merkle_ok} "
-            f"fold={tr.fold_ok} quotient={tr.quotient_ok})")
-
     config = derive_config(proof, fri_config)
-    rows = build_row_schedule(proof, config, ch.samples, tr.fold_leaves)
+    if use_device_prover:
+        ok, samples, fold_leaves = _device_instrumented_verify(
+            proof, air, fri_config)
+        if not ok:
+            raise CannotAttest("verification failed (device verifier)")
+    else:
+        ch = _RecordingChallenger()
+        tr = refimpl_verify(proof, air, fri_config, challenger=ch)
+        if not tr.ok:
+            raise CannotAttest(
+                f"verification failed (pow={tr.pow_ok} "
+                f"merkle={tr.merkle_ok} fold={tr.fold_ok} "
+                f"quotient={tr.quotient_ok})")
+        samples, fold_leaves = ch.samples, tr.fold_leaves
+
+    rows = build_row_schedule(proof, config, samples, fold_leaves)
     gamma = derive_gammas(rows)
     acc, acc_out = fold_accumulators(rows, gamma)
 
@@ -564,7 +626,7 @@ def attest(proof: Proof, air, fri_config: FriConfig,
 
         stark = prove(hc_air, build_attestation_trace(rows, gamma), att_fc)
     return AttestationBundle(
-        stark=stark, samples=list(ch.samples), gamma=gamma, acc=acc,
+        stark=stark, samples=list(samples), gamma=gamma, acc=acc,
         acc_out=acc_out, att_fri_config=att_fc, n_rows=len(rows))
 
 
@@ -649,12 +711,19 @@ def attest_many(proofs: List[Proof], air, fri_config: FriConfig,
     hashing work."""
     samples_list, leaves_list = [], []
     for i, proof in enumerate(proofs):
-        ch = _RecordingChallenger()
-        tr = refimpl_verify(proof, air, fri_config, challenger=ch)
-        if not tr.ok:
-            raise CannotAttest(f"proof {i} failed verification")
-        samples_list.append(ch.samples)
-        leaves_list.append(tr.fold_leaves)
+        if use_device_prover:
+            ok, samples, leaves = _device_instrumented_verify(
+                proof, air, fri_config)
+            if not ok:
+                raise CannotAttest(f"proof {i} failed verification")
+        else:
+            ch = _RecordingChallenger()
+            tr = refimpl_verify(proof, air, fri_config, challenger=ch)
+            if not tr.ok:
+                raise CannotAttest(f"proof {i} failed verification")
+            samples, leaves = ch.samples, tr.fold_leaves
+        samples_list.append(samples)
+        leaves_list.append(leaves)
 
     rows = _multi_rows(proofs, air, fri_config, samples_list, leaves_list)
     gamma = derive_gammas(rows)

@@ -163,6 +163,13 @@ def stack(elems, axis=0):
     )
 
 
+def concat(elems, axis=0):
+    return GL2(
+        gl.concatenate([e.c0 for e in elems], axis=axis),
+        gl.concatenate([e.c1 for e in elems], axis=axis),
+    )
+
+
 class Ops:
     """GF(p^2) ops adapter for the backend-agnostic AIR folder
     (plonky25_tpu.air.VerifierConstraintFolder).

@@ -170,7 +170,7 @@ class TpuVerifier:
         self._s_transcript = jax.jit(self._transcript_fn)
         self._s_batch = jax.jit(self._batch_fn)
         self._s_ro = jax.jit(self._ro_fn)
-        self._s_fold = jax.jit(self._fold_fn)
+        self._s_fold = jax.jit(self._fold_fn, static_argnames=("record",))
         self._s_final = jax.jit(self._final_fn)
 
     # ---------------------------------------------------------------- stages
@@ -196,6 +196,7 @@ class TpuVerifier:
         return {
             "pow_ok": pow_ok,
             "index": index,
+            "samples": ch,          # every raw FS sample, in sample order
             "alpha": ext(self.alpha_idx),
             "zeta": zeta,
             "zeta_next": gl2.mul_base(zeta, gl.full((), self.trace_domain.gen())),
@@ -315,7 +316,7 @@ class TpuVerifier:
 
     def _fold_fn(self, index, phase_commits: GL, betas_stack: GL2,
                  sib_vals: GL2, ro_stack: GL2, fold_sibs: GL,
-                 final_poly: GL2):
+                 final_poly: GL2, record: bool = False):
         """FRI fold (verifier.rs:419-519).
 
         Levels are scanned in GROUPS of two, each group's Merkle paths
@@ -354,6 +355,7 @@ class TpuVerifier:
 
             e0 = gl2.select(is_odd, folded, sib_val)
             e1 = gl2.select(is_odd, sib_val, folded)
+            leaf_rec = (e0, e1) if record else None
 
             # leaf row = [e0.c0, e0.c1, e1.c0, e1.c1] (verifier.rs:471-481)
             leaf = gl.stack([e0.c0, e0.c1, e1.c0, e1.c1], axis=-1)
@@ -372,10 +374,12 @@ class TpuVerifier:
             num = gl2.mul(gl2.sub(e1, e0),
                           gl2.sub_base(gl2.broadcast_to(beta, (Q,)), xs0))
             folded = gl2.add(e0, gl2.mul_base(num, inv_denom))
-            return (folded, idx_pair, gl.square(x), gl.square(inv_x), ok), None
+            return ((folded, idx_pair, gl.square(x), gl.square(inv_x), ok),
+                    leaf_rec)
 
         carry = (gl2.zeros((Q,)), index, x, inv_x, jnp.ones((Q,), bool))
         GROUP = 2
+        leaves = []
         for l0 in range(0, L, GROUP):
             l1 = min(l0 + GROUP, L)
             dmax = L - l0  # deepest path in this group
@@ -387,11 +391,18 @@ class TpuVerifier:
                 fold_sibs[l0:l1][:, :, :dmax],
                 jnp.asarray(self.fold_valid[l0:l1, :dmax]),
             )
-            carry, _ = jax.lax.scan(fold_body, carry, xs)
+            carry, ys = jax.lax.scan(fold_body, carry, xs)
+            if record:
+                leaves.append(ys)        # ((e0, e1) stacked (g, Q) ext)
 
         folded_eval, _, _, _, ok = carry
         fp = gl2.broadcast_to(final_poly, (Q,))
-        return jnp.all(gl2.eq(folded_eval, fp) & ok)
+        verdict = jnp.all(gl2.eq(folded_eval, fp) & ok)
+        if record:
+            e0s = gl2.concat([g[0] for g in leaves])   # (L, Q) ext
+            e1s = gl2.concat([g[1] for g in leaves])
+            return verdict, e0s, e1s
+        return verdict
 
     def _final_fn(self, alpha: GL2, zeta: GL2, trace_local: GL2,
                   trace_next: GL2, quotient_chunks: GL2, publics=None):

@@ -193,3 +193,15 @@ def test_level_sync_builder_matches_host_oracle(attestation_parts):
     cols = A.build_attestation_trace_cols(rows, gamma)
     host = A.build_attestation_trace(rows, gamma)
     assert np.array_equal(to_u64_np(cols).T, host)
+
+
+def test_device_instrumented_verify_matches_oracle(small_proof):
+    """The device-side instrumented verification (samples + fold leaves)
+    agrees with the python oracle bit-for-bit."""
+    ok, samples, leaves = A._device_instrumented_verify(
+        small_proof, FibonacciAir(), FC)
+    ch = A._RecordingChallenger()
+    tr = refimpl_verify(small_proof, FibonacciAir(), FC, challenger=ch)
+    assert ok and tr.ok
+    assert samples == ch.samples
+    assert leaves == tr.fold_leaves
