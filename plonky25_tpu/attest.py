@@ -122,6 +122,7 @@ class _FakeChallenger:
     def __init__(self, samples: List[int]):
         self._it = iter(samples)
         self.exhausted_ok = True
+        self.consumed = 0
 
     def observe(self, value):
         pass
@@ -131,7 +132,9 @@ class _FakeChallenger:
 
     def sample(self) -> int:
         try:
-            return next(self._it)
+            v = next(self._it)
+            self.consumed += 1
+            return v
         except StopIteration:
             self.exhausted_ok = False
             return 0
@@ -630,9 +633,27 @@ def attest(proof: Proof, air, fri_config: FriConfig,
         acc_out=acc_out, att_fri_config=att_fc, n_rows=len(rows))
 
 
+DEFAULT_ATT_FRI_CONFIG = FriConfig(
+    log_blowup=1, num_queries=100, proof_of_work_bits=16)
+
+
+def _att_config_acceptable(bundle_fc: FriConfig,
+                           pinned: Optional[FriConfig]) -> bool:
+    """The attestation STARK's own FRI config travels in the (untrusted)
+    bundle; verifying under it verbatim would let a forged bundle carry
+    FriConfig(num_queries=0, ...) and make the STARK check vacuous
+    (advisor finding, round 2).  The checker pins the config: either the
+    caller's `att_fri_config` or the library default."""
+    want = pinned or DEFAULT_ATT_FRI_CONFIG
+    return (bundle_fc.log_blowup == want.log_blowup
+            and bundle_fc.num_queries == want.num_queries
+            and bundle_fc.proof_of_work_bits == want.proof_of_work_bits)
+
+
 def check_attestation(bundle: AttestationBundle, proof: Proof, air,
                       fri_config: FriConfig,
-                      use_device_verifier: bool = True) -> bool:
+                      use_device_verifier: bool = True,
+                      att_fri_config: Optional[FriConfig] = None) -> bool:
     """Accept iff `bundle` attests a valid verification of `proof`.
 
     Hash-free except the gamma digest and the attestation STARK's own
@@ -642,12 +663,27 @@ def check_attestation(bundle: AttestationBundle, proof: Proof, air,
     slowly; the TPU toolchain does not exhibit this)."""
     import numpy as np
 
+    # 0. checker-pinned attestation security level + fail-closed shape
+    # check (a structurally malformed proof must yield False, never an
+    # exception — the verify_proof contract, verifier.py)
+    if not _att_config_acceptable(bundle.att_fri_config, att_fri_config):
+        return False
+    from .errors import InvalidProofShape, check_proof_shape
+
+    try:
+        check_proof_shape(proof, derive_config(proof, fri_config))
+    except InvalidProofShape:
+        return False
+    if len(proof.opened_values.trace_local) != air.width():
+        return False
+
     # 1. algebra re-execution with the attested challenges
     fake = _FakeChallenger(bundle.samples)
     tr = refimpl_verify(proof, air, fri_config, challenger=fake,
                         check_merkle=False)
     if not (tr.shape_ok and tr.pow_ok and tr.fold_ok and tr.quotient_ok
-            and fake.exhausted_ok):
+            and fake.exhausted_ok
+            and fake.consumed == len(bundle.samples)):
         return False
 
     # 2. canonical sequences from proof bytes + samples only
@@ -748,19 +784,31 @@ def attest_many(proofs: List[Proof], air, fri_config: FriConfig,
 
 def check_attestations(bundle: MultiAttestationBundle, proofs: List[Proof],
                        air, fri_config: FriConfig,
-                       use_device_verifier: bool = True) -> bool:
+                       use_device_verifier: bool = True,
+                       att_fri_config: Optional[FriConfig] = None) -> bool:
     """Accept iff `bundle` attests valid verifications of ALL `proofs`."""
     import numpy as np
 
+    from .errors import InvalidProofShape, check_proof_shape
+
+    if not _att_config_acceptable(bundle.att_fri_config, att_fri_config):
+        return False
     if len(bundle.samples) != len(proofs):
         return False
     leaves_list = []
     for proof, samples in zip(proofs, bundle.samples):
+        try:
+            check_proof_shape(proof, derive_config(proof, fri_config))
+        except InvalidProofShape:
+            return False
+        if len(proof.opened_values.trace_local) != air.width():
+            return False
         fake = _FakeChallenger(samples)
         tr = refimpl_verify(proof, air, fri_config, challenger=fake,
                             check_merkle=False)
         if not (tr.shape_ok and tr.pow_ok and tr.fold_ok and tr.quotient_ok
-                and fake.exhausted_ok):
+                and fake.exhausted_ok
+                and fake.consumed == len(samples)):
             return False
         leaves_list.append(tr.fold_leaves)
 

@@ -345,6 +345,14 @@ class HashChainAir(Air):
         assert_bool(mo)
         active = ops.add(ops.add(sel_t, sel_c), sel_l)
         assert_bool(active)                   # row types mutually exclusive
+        # active rows form a PREFIX: once inactive, always inactive.
+        # Without this, an interior padding row's unconstrained input lanes
+        # let a prover chain a later sel_t row from perm^-1 of a chosen
+        # state while the accumulators stay canonical — forged Fiat-Shamir
+        # samples for absorb-free duplexes (advisor finding, round 2).
+        folder.when_transition().assert_zero(
+            ops.mul(ops.sub(one, active),
+                    ops.add(ops.add(n_sel_t, n_sel_c), n_sel_l)))
 
         def rep(x):
             """(1,) -> broadcast against (k,) vectors via take."""

@@ -650,4 +650,9 @@ def prove_on_device(air: Air, trace_rows,
         if warmup and jax.default_backend() == "tpu":
             p.warmup()
         _prover_cache[key] = p
+    else:
+        # same-name airs (every HashChainAir names "HashChain") share one
+        # cached prover; publics are runtime inputs read from self.air, so
+        # refresh it to the caller's instance on every hit.
+        p.air = air
     return p.prove(trace_rows)

@@ -561,6 +561,13 @@ def get_verifier(air: Air, config: P3Config) -> TpuVerifier:
     if v is None:
         v = TpuVerifier(air, config)
         _verifier_cache[key] = v
+    else:
+        # publics are read at RUN time from the instance's air
+        # (_publics_device(self.air)); the cache key only carries
+        # air.name(), so two airs sharing a name (e.g. every HashChainAir)
+        # hit the same instance.  Refresh the air so the caller's public
+        # values — not the first caller's — feed the compiled module.
+        v.air = air
     return v
 
 

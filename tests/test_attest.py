@@ -107,6 +107,87 @@ def test_tampered_trace_violates_constraints(attestation_parts):
     assert _eval_rows(air, t) != []
 
 
+def test_prefix_constraint_blocks_interior_padding(attestation_parts):
+    """Advisor r2 finding: without the once-inactive-always-inactive
+    transition constraint, an interior padding row's unconstrained lanes
+    let a prover restart a chain from perm^-1 of a chosen state.  An
+    (inactive, active) row pair whose accumulators are made transition-
+    consistent must still violate a transition constraint."""
+    from plonky25_tpu.constants import GOLDILOCKS_P as P, WIDTH
+    from plonky25_tpu.models.poseidon2_air import (
+        ACC_OFF, ACCO_OFF, M_OFF, MO_OFF, OUT_OFF,
+    )
+
+    _, _, rows, gamma, acc, acco, trace = attestation_parts
+    air = HashChainAir({"gamma": gamma, "acc": acc, "acc_out": acco})
+    pad = [int(v) for v in trace[-1]]      # inactive (padding) row
+    act = [int(v) for v in trace[0]]       # active leaf-start row
+
+    # patch act's accumulators so the acc/acco transition from pad holds
+    for k in range(2):
+        g = gamma[k]
+        g12 = pow(g, WIDTH, P)
+        c = sum(act[M_OFF + j] * act[j] * pow(g, j, P)
+                for j in range(WIDTH)) % P
+        act[ACC_OFF + k] = (pad[ACC_OFF + k] * g12 + c) % P
+        co = sum(act[MO_OFF + j] * act[OUT_OFF + j] * pow(g, j, P)
+                 for j in range(WIDTH)) % P
+        act[ACCO_OFF + k] = (pad[ACCO_OFF + k] * g12 + co) % P
+
+    ops = IntExtOps()
+
+    def transition_violations(local, nxt):
+        m = _Main()
+        m.local_vec = ops.stack([Gl2.from_base(int(v)) for v in local])
+        m.next_vec = ops.stack([Gl2.from_base(int(v)) for v in nxt])
+        folder = VerifierConstraintFolder(
+            ops=ops, main=m,
+            is_first_row=Gl2.from_base(0), is_last_row=Gl2.from_base(0),
+            is_transition=Gl2.from_base(1), alpha=Gl2.from_base(0))
+        air.eval(folder)
+        bad = set()
+        for ci, c in enumerate(folder._constraints):
+            a0 = np.atleast_1d(np.asarray(c[0], object)).reshape(-1)
+            a1 = np.atleast_1d(np.asarray(c[1], object)).reshape(-1)
+            if not (all(v == 0 for v in a0) and all(v == 0 for v in a1)):
+                bad.add(ci)
+        return bad
+
+    # pure padding continuation is fine; padding -> active is not
+    assert transition_violations(pad, pad) == set()
+    assert transition_violations(pad, act) != set()
+
+
+def test_check_attestation_fail_closed(small_proof):
+    """A structurally malformed proof or a weak bundle config yields
+    False, never an exception (advisor r2 medium + high findings).  Uses a
+    dummy bundle: both rejections fire before any STARK work."""
+    dummy = A.AttestationBundle(
+        stark=small_proof, samples=[0] * 4, gamma=(1, 1), acc=(0, 0),
+        acc_out=(0, 0), att_fri_config=A.DEFAULT_ATT_FRI_CONFIG, n_rows=4)
+    # weak att config short-circuits
+    weak = copy.deepcopy(dummy)
+    weak.att_fri_config = FriConfig(log_blowup=1, num_queries=0,
+                                    proof_of_work_bits=0)
+    assert not A.check_attestation(weak, small_proof, FibonacciAir(), FC,
+                                   use_device_verifier=False)
+    # malformed proofs: structural damage returns False (no crash)
+    mangled = copy.deepcopy(small_proof)
+    mangled.opening_proof.fri_proof.query_proofs = []
+    assert not A.check_attestation(dummy, mangled, FibonacciAir(), FC,
+                                   use_device_verifier=False)
+    mangled = copy.deepcopy(small_proof)
+    mangled.opened_values.trace_local = mangled.opened_values.trace_local[:1]
+    assert not A.check_attestation(dummy, mangled, FibonacciAir(), FC,
+                                   use_device_verifier=False)
+    # multi-proof variant shares the guards
+    mb = A.MultiAttestationBundle(
+        stark=small_proof, samples=[[0] * 4], gamma=(1, 1), acc=(0, 0),
+        acc_out=(0, 0), att_fri_config=A.DEFAULT_ATT_FRI_CONFIG, n_rows=4)
+    assert not A.check_attestations(mb, [mangled], FibonacciAir(), FC,
+                                    use_device_verifier=False)
+
+
 def test_canonical_accs_match_trace(attestation_parts):
     """fold_accumulators (checker-side, no states) agrees with the trace's
     running accumulator columns (builder-side, from actual lane values)."""
@@ -125,8 +206,23 @@ def test_attest_roundtrip_and_tamper(small_proof):
     bundle = A.attest(small_proof, FibonacciAir(), FC, att_fri_config=ATT_FC,
                       use_device_prover=False)
     chk = lambda b, p, fc: A.check_attestation(
-        b, p, FibonacciAir(), fc, use_device_verifier=False)
+        b, p, FibonacciAir(), fc, use_device_verifier=False,
+        att_fri_config=ATT_FC)
     assert chk(bundle, small_proof, FC)
+
+    # the checker pins the attestation security level: a bundle claiming a
+    # weaker att config than the checker demands is rejected outright
+    # (advisor finding r2: attacker-supplied att_fri_config made the STARK
+    # check vacuous)
+    weak = copy.deepcopy(bundle)
+    weak.att_fri_config = FriConfig(log_blowup=1, num_queries=0,
+                                    proof_of_work_bits=0)
+    assert not chk(weak, small_proof, FC)
+
+    # trailing extra samples are rejected (exact consumption; advisor r2)
+    extra = copy.deepcopy(bundle)
+    extra.samples.append(12345)
+    assert not chk(extra, small_proof, FC)
 
     # a failed verification cannot be attested
     bad = copy.deepcopy(small_proof)
@@ -161,7 +257,8 @@ def test_attest_many_aggregates(small_proof):
     bundle = A.attest_many(proofs, FibonacciAir(), FC,
                            att_fri_config=ATT_FC, use_device_prover=False)
     chk = lambda b, ps: A.check_attestations(
-        b, ps, FibonacciAir(), FC, use_device_verifier=False)
+        b, ps, FibonacciAir(), FC, use_device_verifier=False,
+        att_fri_config=ATT_FC)
     assert chk(bundle, proofs)
     # order matters; wrong batch rejected
     assert not chk(bundle, [other, small_proof])

@@ -121,3 +121,49 @@ def test_stage_timer_and_throughput():
 
     m = measure_throughput(lambda a: a + 1, (x,), n_items=8, iters=3)
     assert m["items_per_sec"] > 0
+
+
+def test_cached_instances_refresh_air_publics(golden_proof):
+    """Advisor r2 high finding: same-name airs (every HashChainAir is
+    "HashChain") share a cached verifier/prover instance, but publics are
+    read at run time from instance.air — a stale air would prove/verify
+    against the FIRST caller's publics.  The caches must refresh .air on
+    every hit."""
+    from plonky25_tpu.models.fibonacci import FibonacciAir
+    from plonky25_tpu.models.poseidon2_air import HashChainAir
+    from plonky25_tpu.proof import derive_config
+    from plonky25_tpu.verifier import get_verifier
+
+    cfg = derive_config(golden_proof, FC)
+    a1 = HashChainAir({"gamma": (1, 2), "acc": (3, 4), "acc_out": (5, 6)})
+    a2 = HashChainAir({"gamma": (7, 8), "acc": (9, 10), "acc_out": (11, 12)})
+    # widths must match the config for get_verifier keying; use Fibonacci
+    # (same-name instances with distinct publics) for the real-cfg probe
+    f1, f2 = FibonacciAir(), FibonacciAir()
+    assert f1.name() == f2.name()
+    v1 = get_verifier(f1, cfg)
+    v2 = get_verifier(f2, cfg)
+    assert v2 is v1 and v2.air is f2
+
+    hcfgs = [a for a in (a1, a2)]
+    keyed = {}
+    for a in hcfgs:
+        keyed[id(a)] = a
+    # prover-side refresh mirrors the verifier; exercised structurally
+    import plonky25_tpu.prover.prove as PP
+
+    class _FakeProver:
+        def __init__(self):
+            self.air = a1
+
+        def prove(self, rows):
+            return self.air
+
+    key = (a1.name(), a1.width(), 3, FC.log_blowup, FC.num_queries,
+           FC.proof_of_work_bits)
+    PP._prover_cache[key] = _FakeProver()
+    try:
+        got = PP.prove_on_device(a2, [[0] * a2.width()] * 8, FC)
+        assert got is a2
+    finally:
+        del PP._prover_cache[key]
