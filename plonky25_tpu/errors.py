@@ -76,6 +76,22 @@ def check_proof_shape(proof, config) -> None:
               f"quotient chunk {i} has {len(qc)} values, expected "
               f"{EXT_DEGREE}")
 
+    # ---- stage-2 (multi-stage AIRs): all-present or all-absent, and the
+    # widths must match the config
+    s2w = getattr(config, "stage2_width", 0)
+    if s2w:
+        _want(proof.commitments.stage2 is not None
+              and ov.stage2_local is not None and ov.stage2_next is not None,
+              "config expects a stage-2 matrix but the proof has none")
+        _want(len(ov.stage2_local) == s2w and len(ov.stage2_next) == s2w,
+              f"stage2 opened width {len(ov.stage2_local)} != {s2w}")
+        _want(len(proof.commitments.stage2.value) == DIGEST_ELEMS,
+              "stage2 commitment is not a 4-element digest")
+    else:
+        _want(proof.commitments.stage2 is None and ov.stage2_local is None
+              and ov.stage2_next is None,
+              "proof carries a stage-2 matrix but the config expects none")
+
     # ---- commitments: 4-element digests everywhere
     _want(len(proof.commitments.trace.value) == DIGEST_ELEMS,
           "trace commitment is not a 4-element digest")
@@ -102,18 +118,25 @@ def check_proof_shape(proof, config) -> None:
     _want(len(fp.final_poly) == EXT_DEGREE,
           "final_poly is not an extension element")
 
-    # ---- per-query batch openings: [trace, quotient], rectangular
+    # ---- per-query batch openings: [trace, (stage2), quotient], rectangular
+    n_batches = 3 if s2w else 2
     for qi, batches in enumerate(op.query_openings):
-        _want(len(batches) == 2,
-              f"query {qi} has {len(batches)} batch openings, expected 2")
-        tb, qb = batches
+        _want(len(batches) == n_batches,
+              f"query {qi} has {len(batches)} batch openings, "
+              f"expected {n_batches}")
+        tb, qb = batches[0], batches[-1]
         _want(len(tb.opened_values) == 1
               and len(tb.opened_values[0]) == config.trace_width,
               f"query {qi} trace batch rows/width mismatch")
         _want(len(qb.opened_values) == n_chunks
               and all(len(r) == EXT_DEGREE for r in qb.opened_values),
               f"query {qi} quotient batch rows/width mismatch")
-        for b, batch in ((0, tb), (1, qb)):
+        if s2w:
+            sb = batches[1]
+            _want(len(sb.opened_values) == 1
+                  and len(sb.opened_values[0]) == s2w,
+                  f"query {qi} stage2 batch rows/width mismatch")
+        for b, batch in enumerate(batches):
             _want(len(batch.opening_proof) == log_max,
                   f"query {qi} batch {b} path depth "
                   f"{len(batch.opening_proof)} != {log_max}")

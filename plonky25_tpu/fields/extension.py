@@ -206,6 +206,13 @@ class Ops:
             return from_base(b)
         return GL2(gl.full(self._shape, int(b)), gl.zeros(self._shape))
 
+    @staticmethod
+    def from_parts(a: GL2, b: GL2) -> GL2:
+        """Ext value (a0, b0) from two BASE-valued ext exprs (c1 ignored):
+        a + X*b for base a, b.  The attestation algebra AIR uses this to
+        view two base trace columns as one GF(p^2) value."""
+        return GL2(a.c0, b.c0)
+
     # ---- vector helpers (constraint axis = axis 0) -----------------------
     @staticmethod
     def stack(vals):

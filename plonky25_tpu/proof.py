@@ -12,8 +12,8 @@ derivation in p3_verify_proof (p3/mod.rs:74-87).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
-from typing import List, Tuple
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
 
 from .utils.bits import log2_ceil
 
@@ -46,6 +46,12 @@ class Commitment:
 class Commitments:
     trace: Commitment
     quotient_chunks: Commitment
+    # Second-stage trace commitment (multi-stage AIRs): committed AFTER the
+    # main trace so its columns may depend on transcript challenges sampled
+    # from the main-trace commitment (gamma).  Absent (None) for ordinary
+    # single-stage proofs — the reference's uni-stark (serde/proof.rs:73-77)
+    # has no such field and the JSON schema stays byte-identical without it.
+    stage2: Optional[Commitment] = None
 
 
 @dataclass
@@ -53,6 +59,9 @@ class OpenedValues:
     trace_local: List[Ext]
     trace_next: List[Ext]
     quotient_chunks: List[List[Ext]]
+    # stage-2 matrix openings at zeta / zeta*g (multi-stage AIRs only)
+    stage2_local: Optional[List[Ext]] = None
+    stage2_next: Optional[List[Ext]] = None
 
 
 @dataclass
@@ -104,6 +113,7 @@ class P3Config:
     opening_matrix_log_max_height: int
     quotient_opened_values_len: int
     degree_bits: int
+    stage2_width: int = 0
 
 
 # ---------------------------------------------------------------- JSON loading
@@ -144,11 +154,17 @@ def _proof_from_json(obj: dict) -> Proof:
         commitments=Commitments(
             trace=_commitment(obj["commitments"]["trace"]),
             quotient_chunks=_commitment(obj["commitments"]["quotient_chunks"]),
+            stage2=(_commitment(obj["commitments"]["stage2"])
+                    if obj["commitments"].get("stage2") is not None else None),
         ),
         opened_values=OpenedValues(
             trace_local=[_ext(e) for e in ov["trace_local"]],
             trace_next=[_ext(e) for e in ov["trace_next"]],
             quotient_chunks=[[_ext(e) for e in chunk] for chunk in ov["quotient_chunks"]],
+            stage2_local=([_ext(e) for e in ov["stage2_local"]]
+                          if ov.get("stage2_local") is not None else None),
+            stage2_next=([_ext(e) for e in ov["stage2_next"]]
+                         if ov.get("stage2_next") is not None else None),
         ),
         opening_proof=TwoAdicFriPcsProof(
             fri_proof=FriProof(
@@ -210,17 +226,26 @@ def _commitment_j(c: Commitment) -> dict:
 def proof_to_json(proof: Proof) -> dict:
     ov = proof.opened_values
     fp = proof.opening_proof.fri_proof
+    commitments_j = {
+        "trace": _commitment_j(proof.commitments.trace),
+        "quotient_chunks": _commitment_j(proof.commitments.quotient_chunks),
+    }
+    opened_j = {
+        "trace_local": [_ext_j(e) for e in ov.trace_local],
+        "trace_next": [_ext_j(e) for e in ov.trace_next],
+        "quotient_chunks": [[_ext_j(e) for e in chunk]
+                            for chunk in ov.quotient_chunks],
+    }
+    # stage-2 fields only for multi-stage proofs: single-stage output stays
+    # byte-identical to the reference schema (golden round-trip invariant)
+    if proof.commitments.stage2 is not None:
+        commitments_j["stage2"] = _commitment_j(proof.commitments.stage2)
+    if ov.stage2_local is not None:
+        opened_j["stage2_local"] = [_ext_j(e) for e in ov.stage2_local]
+        opened_j["stage2_next"] = [_ext_j(e) for e in ov.stage2_next]
     return {
-        "commitments": {
-            "trace": _commitment_j(proof.commitments.trace),
-            "quotient_chunks": _commitment_j(proof.commitments.quotient_chunks),
-        },
-        "opened_values": {
-            "trace_local": [_ext_j(e) for e in ov.trace_local],
-            "trace_next": [_ext_j(e) for e in ov.trace_next],
-            "quotient_chunks": [[_ext_j(e) for e in chunk]
-                                for chunk in ov.quotient_chunks],
-        },
+        "commitments": commitments_j,
+        "opened_values": opened_j,
         "opening_proof": {
             "fri_proof": {
                 "commit_phase_commits": [
@@ -285,10 +310,12 @@ def derive_config(proof: Proof, fri_config: FriConfig) -> P3Config:
             opening_matrix_log_max_height=len(
                 proof.opening_proof.query_openings[0][0].opening_proof
             ),
+            # quotient is always the LAST batch ([trace, (stage2), quotient])
             quotient_opened_values_len=len(
-                proof.opening_proof.query_openings[0][1].opened_values[0]
+                proof.opening_proof.query_openings[0][-1].opened_values[0]
             ),
             degree_bits=proof.degree_bits,
+            stage2_width=len(proof.opened_values.stage2_local or []),
         )
     except (IndexError, TypeError) as e:
         raise InvalidProofShape(

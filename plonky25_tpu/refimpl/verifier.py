@@ -61,6 +61,12 @@ class IntExtOps:
     def from_base(b):
         return Gl2.from_base(b)
 
+    @staticmethod
+    def from_parts(a, b):
+        """Ext value (a0, b0) from two BASE-valued ext exprs (c1 ignored):
+        a + X*b for base a, b (see fields.extension.Ops.from_parts)."""
+        return (a[0], b[0])
+
     # ---- vector helpers (constraint axis = axis 0) ----------------------
     @staticmethod
     def stack(vals):
