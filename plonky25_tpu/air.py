@@ -24,6 +24,31 @@ class Air:
     def eval(self, folder: "VerifierConstraintFolder") -> None:
         raise NotImplementedError
 
+    # ---- multi-stage AIRs (framework extension) -------------------------
+    # A second trace matrix committed AFTER transcript challenges are
+    # sampled from the main-trace commitment — the standard Fiat-Shamir
+    # mechanism behind permutation / lookup / accumulator arguments (the
+    # reference's plonky2 core has the same capability as its permutation
+    # argument over wire copies).  Single-stage AIRs leave all three
+    # defaults; the proof JSON then stays byte-identical to the reference
+    # schema (serde/proof.rs).
+
+    def stage2_width(self) -> int:
+        """Number of stage-2 columns (0 = single-stage)."""
+        return 0
+
+    def num_challenges(self) -> int:
+        """GF(p^2) challenges sampled between the main-trace and stage-2
+        commitments.  Each is one `sample_ext()` (= two base samples)."""
+        return 0
+
+    def build_stage2(self, trace, challenges):
+        """Prover callback: stage-2 columns from the main trace + sampled
+        challenges.  `trace`: row-major host rows (height x width) of the
+        main trace; `challenges`: list of (c0, c1) host int pairs.
+        Returns column-major host ints (stage2_width x height)."""
+        raise NotImplementedError
+
     def public_values(self) -> dict:
         """Named public scalars (host ints) the constraints may reference.
 
@@ -41,7 +66,7 @@ class VerifierConstraintFolder:
     """air.rs:20-27 plus the builder methods at air.rs:34-92."""
 
     def __init__(self, ops, main, is_first_row, is_last_row, is_transition,
-                 alpha, publics=None):
+                 alpha, publics=None, challenges=None):
         self.ops = ops
         self.main = main              # has .trace_local / .trace_next / .quotient_chunks
         self.is_first_row = is_first_row
@@ -49,6 +74,11 @@ class VerifierConstraintFolder:
         self.is_transition = is_transition
         self.alpha = alpha
         self.publics = publics or {}  # backend ext scalars by name
+        # multi-stage: sampled GF(p^2) challenges (backend ext scalars, in
+        # sample order) available to the constraints; stage-2 columns are
+        # exposed via main.stage2_local / main.stage2_next (and the
+        # stacked stage2_local_vec / stage2_next_vec on vector backends)
+        self.challenges = challenges or []
         # Constraints are recorded and folded at the end: backends may fold
         # them with a scan instead of a long dependent op chain (the chain
         # form makes XLA compile time blow up superlinearly).

@@ -208,10 +208,12 @@ class Ops:
 
     @staticmethod
     def from_parts(a: GL2, b: GL2) -> GL2:
-        """Ext value (a0, b0) from two BASE-valued ext exprs (c1 ignored):
-        a + X*b for base a, b.  The attestation algebra AIR uses this to
-        view two base trace columns as one GF(p^2) value."""
-        return GL2(a.c0, b.c0)
+        """a + X*b: view two base trace columns (a, b) as one GF(p^2)
+        value.  Valid at EVERY evaluation point: on base points (quotient
+        domain) a, b have c1 = 0 and this reduces to (a0, b0); at an ext
+        point zeta the column openings are full ext values and the X-mul
+        keeps the algebra consistent (X*b = (7*b1, b0))."""
+        return GL2(gl.add(a.c0, _mul_w(b.c1)), gl.add(a.c1, b.c0))
 
     # ---- vector helpers (constraint axis = axis 0) -----------------------
     @staticmethod

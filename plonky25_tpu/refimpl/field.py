@@ -64,6 +64,7 @@ class Gl2:
 
     ZERO = (0, 0)
     ONE = (1, 0)
+    X = (0, 1)
 
     @staticmethod
     def add(x, y):

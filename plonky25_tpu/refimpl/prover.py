@@ -123,6 +123,20 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
     trace_commit = trace_tree.root
 
     ch.observe_many(trace_commit)
+
+    # ---- stage 2 (multi-stage AIRs): sample challenges, commit the
+    # challenge-dependent second matrix (air.py Air.build_stage2)
+    s2w = air.stage2_width()
+    challenges = [ch.sample_ext() for _ in range(air.num_challenges())]
+    s2_tree = s2_lde_rows = None
+    s2_cols: List[List[int]] = []
+    if s2w:
+        s2_cols = [[v % P for v in col]
+                   for col in air.build_stage2(trace, challenges)]
+        assert len(s2_cols) == s2w and len(s2_cols[0]) == height
+        s2_tree, s2_lde_rows = commit_matrix(s2_cols, 1, log_blowup)
+        ch.observe_many(s2_tree.root)
+
     alpha = ch.sample_ext()
 
     # ---- quotient -------------------------------------------------------
@@ -139,6 +153,11 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         coeffs = coset_intt(col, 1) + [0] * (q_size - height)
         local_cols.append(coset_ntt(coeffs, 7))
         next_cols.append(coset_ntt(coeffs, 7 * g_t % P))
+    s2_local_cols, s2_next_cols = [], []
+    for col in s2_cols:
+        coeffs = coset_intt(col, 1) + [0] * (q_size - height)
+        s2_local_cols.append(coset_ntt(coeffs, 7))
+        s2_next_cols.append(coset_ntt(coeffs, 7 * g_t % P))
 
     sels = [
         trace_domain.selectors_at_point((7 * pow(g_q, i, P) % P, 0))
@@ -167,6 +186,17 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         _np.asarray(next_cols, dtype=object),
         _np.zeros((width, q_size), dtype=object),
     )
+    if s2w:
+        main.stage2_local = [_vec(s2_local_cols[c]) for c in range(s2w)]
+        main.stage2_next = [_vec(s2_next_cols[c]) for c in range(s2w)]
+        main.stage2_local_vec = (
+            _np.asarray(s2_local_cols, dtype=object),
+            _np.zeros((s2w, q_size), dtype=object),
+        )
+        main.stage2_next_vec = (
+            _np.asarray(s2_next_cols, dtype=object),
+            _np.zeros((s2w, q_size), dtype=object),
+        )
     folder = VerifierConstraintFolder(
         ops=IntExtOps(point_ndim=1),
         main=main,
@@ -179,6 +209,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         alpha=alpha,
         publics={k: Gl2.from_base(v % P)
                  for k, v in air.public_values().items()},
+        challenges=list(challenges),
     )
     air.eval(folder)
     acc0, acc1 = folder.accumulator
@@ -215,6 +246,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
 
     # ---- opened values ---------------------------------------------------
     trace_coeffs = [coset_intt(col, 1) for col in trace_cols]
+    s2_coeffs = [coset_intt(col, 1) for col in s2_cols]
     opened = OpenedValues(
         trace_local=[_eval_poly_ext(c, zeta) for c in trace_coeffs],
         trace_next=[_eval_poly_ext(c, zeta_next) for c in trace_coeffs],
@@ -225,6 +257,10 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
             ]
             for ci in range(quotient_degree)
         ],
+        stage2_local=([_eval_poly_ext(c, zeta) for c in s2_coeffs]
+                      if s2w else None),
+        stage2_next=([_eval_poly_ext(c, zeta_next) for c in s2_coeffs]
+                     if s2w else None),
     )
 
     # ---- FRI ---------------------------------------------------------------
@@ -241,6 +277,10 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         terms.append((lambda i, c=c: trace_lde_rows[i][c], zeta, opened.trace_local[c]))
     for c in range(width):
         terms.append((lambda i, c=c: trace_lde_rows[i][c], zeta_next, opened.trace_next[c]))
+    for c in range(s2w):
+        terms.append((lambda i, c=c: s2_lde_rows[i][c], zeta, opened.stage2_local[c]))
+    for c in range(s2w):
+        terms.append((lambda i, c=c: s2_lde_rows[i][c], zeta_next, opened.stage2_next[c]))
     for ci in range(quotient_degree):
         for e in range(EXT_DEGREE):
             col = ci * EXT_DEGREE + e
@@ -323,13 +363,20 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
                 opened_values=[list(trace_lde_rows[idx])],
                 opening_proof=trace_tree.open(idx),
             ),
+        ]
+        if s2w:
+            batches.append(BatchOpening(
+                opened_values=[list(s2_lde_rows[idx])],
+                opening_proof=s2_tree.open(idx),
+            ))
+        batches.append(
             BatchOpening(
                 # one row per chunk matrix (serde/proof.rs BatchOpening)
                 opened_values=[list(chunk_ldes[ci][idx])
                                for ci in range(quotient_degree)],
                 opening_proof=quotient_tree.open(idx),
             ),
-        ]
+        )
         query_openings.append(batches)
 
         steps = []
@@ -350,6 +397,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         commitments=Commitments(
             trace=Commitment(value=list(trace_commit)),
             quotient_chunks=Commitment(value=list(quotient_commit)),
+            stage2=(Commitment(value=list(s2_tree.root)) if s2w else None),
         ),
         opened_values=opened,
         opening_proof=TwoAdicFriPcsProof(

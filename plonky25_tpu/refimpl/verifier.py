@@ -63,9 +63,9 @@ class IntExtOps:
 
     @staticmethod
     def from_parts(a, b):
-        """Ext value (a0, b0) from two BASE-valued ext exprs (c1 ignored):
-        a + X*b for base a, b (see fields.extension.Ops.from_parts)."""
-        return (a[0], b[0])
+        """a + X*b: two base trace columns as one GF(p^2) value (see
+        fields.extension.Ops.from_parts — valid at every point)."""
+        return Gl2.add(a, Gl2.mul(Gl2.X, b))
 
     # ---- vector helpers (constraint axis = axis 0) ----------------------
     @staticmethod
@@ -172,17 +172,26 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
 
     ov = proof.opened_values
     air_width = air.width()
+    s2w = air.stage2_width()
     tr.shape_ok = (
         len(ov.trace_local) == air_width
         and len(ov.trace_next) == air_width
         and len(ov.quotient_chunks) == quotient_degree
         and all(len(qc) == EXT_DEGREE for qc in ov.quotient_chunks)
+        and len(ov.stage2_local or []) == s2w
+        and len(ov.stage2_next or []) == s2w
+        and (proof.commitments.stage2 is not None) == bool(s2w)
     )
     if not tr.shape_ok:
         return tr
 
-    # -- transcript head (verifier.rs:135-140) -----------------------------
+    # -- transcript head (verifier.rs:135-140; multi-stage: challenges are
+    # sampled from the main-trace commitment, then the stage-2 commitment
+    # is observed before alpha) --------------------------------------------
     ch.observe_many(proof.commitments.trace.value)
+    challenges = [ch.sample_ext() for _ in range(air.num_challenges())]
+    if s2w:
+        ch.observe_many(proof.commitments.stage2.value)
     alpha = ch.sample_ext()
     ch.observe_many(proof.commitments.quotient_chunks.value)
     zeta = ch.sample_ext()
@@ -195,6 +204,14 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
             proof.commitments.trace.value,
             [(trace_domain, [(zeta, ov.trace_local), (zeta_next, ov.trace_next)])],
         ),
+    ]
+    if s2w:
+        commits_and_points.append((
+            proof.commitments.stage2.value,
+            [(trace_domain,
+              [(zeta, ov.stage2_local), (zeta_next, ov.stage2_next)])],
+        ))
+    commits_and_points.append(
         (
             proof.commitments.quotient_chunks.value,
             [
@@ -202,7 +219,7 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
                 for dom, vals in zip(quotient_chunks_domains, ov.quotient_chunks)
             ],
         ),
-    ]
+    )
 
     fri_proof = proof.opening_proof.fri_proof
     alpha_fri = ch.sample_ext()
@@ -312,6 +329,7 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
         alpha=alpha,
         publics={k: Gl2.from_base(v % P)
                  for k, v in air.public_values().items()},
+        challenges=list(challenges),
     )
     air.eval(folder)
     folded_constraints = folder.accumulator

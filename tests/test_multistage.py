@@ -1,0 +1,98 @@
+"""Multi-stage STARK core: stage-2 commitment after transcript challenges.
+
+Validates the framework's multi-stage mechanism (air.py stage2_width /
+num_challenges / build_stage2) on the minimal RlcAir — prove/verify
+round-trips on both backends, JSON round-trip of stage-2 proofs, and a
+tamper battery over the new proof fields.
+"""
+
+import copy
+import random
+
+import pytest
+
+from plonky25_tpu.models.rlc_air import RlcAir
+from plonky25_tpu.proof import (
+    FriConfig,
+    derive_config,
+    proof_from_json,
+    proof_to_json,
+)
+from plonky25_tpu.refimpl.prover import prove
+from plonky25_tpu.refimpl.verifier import verify
+
+FC = FriConfig(log_blowup=1, num_queries=8, proof_of_work_bits=4)
+
+
+@pytest.fixture(scope="module")
+def rlc_proof():
+    rng = random.Random(7)
+    trace = [[rng.randrange(1 << 63), rng.randrange(1 << 63)]
+             for _ in range(16)]
+    return prove(RlcAir(), trace, FC), trace
+
+
+def test_refimpl_roundtrip(rlc_proof):
+    proof, _ = rlc_proof
+    assert proof.commitments.stage2 is not None
+    assert len(proof.opened_values.stage2_local) == 2
+    assert len(proof.opening_proof.query_openings[0]) == 3
+    tr = verify(proof, RlcAir(), FC)
+    assert tr.ok, (tr.pow_ok, tr.merkle_ok, tr.fold_ok, tr.quotient_ok)
+
+
+def test_json_roundtrip(rlc_proof):
+    import json
+
+    proof, _ = rlc_proof
+    blob = json.dumps(proof_to_json(proof))
+    again = proof_from_json(json.loads(blob))
+    assert proof_to_json(again) == proof_to_json(proof)
+    cfg = derive_config(again, FC)
+    assert cfg.stage2_width == 2
+    assert verify(again, RlcAir(), FC).ok
+
+
+def test_tamper_stage2_opened(rlc_proof):
+    proof, _ = rlc_proof
+    bad = copy.deepcopy(proof)
+    c0, c1 = bad.opened_values.stage2_local[0]
+    bad.opened_values.stage2_local[0] = ((c0 + 1) % ((1 << 64) - (1 << 32) + 1), c1)
+    assert not verify(bad, RlcAir(), FC).ok
+
+
+def test_tamper_stage2_commitment(rlc_proof):
+    proof, _ = rlc_proof
+    bad = copy.deepcopy(proof)
+    bad.commitments.stage2.value = list(bad.commitments.stage2.value)
+    bad.commitments.stage2.value[0] ^= 1
+    assert not verify(bad, RlcAir(), FC).ok
+
+
+def test_tamper_stage2_leaf(rlc_proof):
+    proof, _ = rlc_proof
+    bad = copy.deepcopy(proof)
+    row = bad.opening_proof.query_openings[0][1].opened_values[0]
+    row[0] = (row[0] + 1) % ((1 << 64) - (1 << 32) + 1)
+    tr = verify(bad, RlcAir(), FC)
+    assert not tr.ok and not tr.merkle_ok
+
+
+def test_stage2_required(rlc_proof):
+    proof, _ = rlc_proof
+    bad = copy.deepcopy(proof)
+    bad.commitments.stage2 = None
+    assert not verify(bad, RlcAir(), FC).ok
+
+
+def test_stage2_wrong_gamma_binding(rlc_proof):
+    """A stage-2 matrix built against the WRONG challenge must fail: swap
+    the stage-2 columns of two otherwise-identical proofs with different
+    main traces (so their sampled gammas differ)."""
+    proof, trace = rlc_proof
+    other_trace = [[(a + 1) % 97, b] for a, b in trace]
+    other = prove(RlcAir(), other_trace, FC)
+    bad = copy.deepcopy(proof)
+    bad.opened_values.stage2_local = other.opened_values.stage2_local
+    bad.opened_values.stage2_next = other.opened_values.stage2_next
+    assert not verify(bad, RlcAir(), FC).ok
