@@ -83,6 +83,10 @@ class TpuVerifier:
         assert self.log_max_height <= 32, "query indices beyond u32 unsupported"
         self.degree_bits = config.degree_bits
         self.quotient_degree = 1 << config.log_quotient_degree
+        # multi-stage AIRs: a second, challenge-dependent matrix committed
+        # between the trace and quotient commitments (air.py)
+        self.s2w = config.stage2_width
+        self.n_challenges = air.num_challenges() if self.s2w else 0
 
         # Hash kernel for the Merkle-heavy stages.  Measured on v5e: the
         # scan-based jnp path wins for the verifier's shapes — Q=100-lane
@@ -117,6 +121,10 @@ class TpuVerifier:
         # ---- transcript schedule (symbolic replay; see challenger.py)
         sym = SymbolicChallenger()
         sym.observe(4)                              # trace commitment
+        self.challenge_idx = [sym.sample_ext()      # multi-stage challenges
+                              for _ in range(self.n_challenges)]
+        if self.s2w:
+            sym.observe(4)                          # stage-2 commitment
         self.alpha_idx = sym.sample_ext()
         sym.observe(4)                              # quotient commitment
         self.zeta_idx = sym.sample_ext()
@@ -131,17 +139,26 @@ class TpuVerifier:
         self.schedule = sym.schedule()
 
         # observation layout (witness.pack_witness order)
+        s2off = 4 if self.s2w else 0
         self.obs_trace_commit = slice(0, 4)
-        self.obs_quotient_commit = slice(4, 8)
-        self.obs_phase_commits = slice(8, 8 + 4 * self.n_phases)
+        self.obs_stage2_commit = slice(4, 8) if self.s2w else None
+        self.obs_quotient_commit = slice(4 + s2off, 8 + s2off)
+        self.obs_phase_commits = slice(8 + s2off,
+                                       8 + s2off + 4 * self.n_phases)
 
         # ---- batch/matrix/term schedule (verifier.rs:266-344)
-        # batch 0: trace (1 matrix, points zeta & zeta*g); batch 1: quotient
-        # (one matrix per chunk, point zeta).
-        self.mats = [{"batch": 0, "row": 0,
-                      "log_height": log2_strict(self.trace_domain.size()) + fc.log_blowup}]
+        # batch 0: trace (1 matrix, points zeta & zeta*g); [batch 1: stage-2
+        # (1 matrix, zeta & zeta*g)]; last batch: quotient (one matrix per
+        # chunk, point zeta).
+        h_tr = log2_strict(self.trace_domain.size()) + fc.log_blowup
+        self.mats = [{"batch": 0, "row": 0, "log_height": h_tr}]
+        qb = 1
+        if self.s2w:
+            self.mats.append({"batch": 1, "row": 0, "log_height": h_tr})
+            qb = 2
+        self.quotient_batch = qb
         for c, dom in enumerate(self.quotient_chunks_domains):
-            self.mats.append({"batch": 1, "row": c,
+            self.mats.append({"batch": qb, "row": c,
                               "log_height": log2_strict(dom.size()) + fc.log_blowup})
 
         self.terms = []  # static reduced-opening term schedule
@@ -159,9 +176,13 @@ class TpuVerifier:
             add_term(0, col, "zeta", ("trace_local", col))
         for col in range(config.trace_width):
             add_term(0, col, "zeta_next", ("trace_next", col))
+        for col in range(self.s2w):
+            add_term(1, col, "zeta", ("stage2_local", col))
+        for col in range(self.s2w):
+            add_term(1, col, "zeta_next", ("stage2_next", col))
         for c in range(self.quotient_degree):
             for e in range(EXT_DEGREE):
-                add_term(1 + c, e, "zeta", ("qc", c, e))
+                add_term(qb + c, e, "zeta", ("qc", c, e))
         self.max_alpha_pow = max(k_at_height.values())
         self.fold_heights = [self.log_max_height - 1 - l for l in range(self.n_phases)]
         self.fold_valid = fold_valid_mask(config)
@@ -193,7 +214,7 @@ class TpuVerifier:
             return GL2(ch[ip[0]], ch[ip[1]])
 
         zeta = ext(self.zeta_idx)
-        return {
+        out = {
             "pow_ok": pow_ok,
             "index": index,
             "samples": ch,          # every raw FS sample, in sample order
@@ -206,6 +227,10 @@ class TpuVerifier:
             "quotient_commit": obs[self.obs_quotient_commit],
             "phase_commits": obs[self.obs_phase_commits].reshape(self.n_phases, 4),
         }
+        if self.s2w:
+            out["stage2_commit"] = obs[self.obs_stage2_commit]
+            out["challenges"] = [ext(ix) for ix in self.challenge_idx]
+        return out
 
     def _batch_fn(self, index, vals: GL, sibs: GL, commit: GL):
         """Merkle batch opening for one committed batch (verifier.rs:276-294).
@@ -218,7 +243,8 @@ class TpuVerifier:
 
     def _ro_fn(self, index, zeta: GL2, zeta_next: GL2, alpha_fri: GL2,
                batch_values, trace_local: GL2, trace_next: GL2,
-               quotient_chunks: GL2):
+               quotient_chunks: GL2, stage2_local: GL2 = None,
+               stage2_next: GL2 = None):
         """Reduced-opening accumulators (verifier.rs:296-344), batched over
         queries.
 
@@ -256,21 +282,30 @@ class TpuVerifier:
         )
 
         h_trace = self.mats[0]["log_height"]
-        h_quot = self.mats[1]["log_height"] if len(self.mats) > 1 else h_trace
-        qc_flat = quotient_chunks.c0  # for shape only
+        qb = self.quotient_batch
+        h_quot = (self.mats[qb]["log_height"] if len(self.mats) > qb
+                  else h_trace)
+        s2w = self.s2w
         groups = [
             # (p_at_x (Q,C), p_at_z (C,), z, height, k0)
             (batch_values[0][:, 0, :], trace_local, zeta, h_trace, 0),
             (batch_values[0][:, 0, :], trace_next, zeta_next, h_trace, w),
+        ]
+        if s2w:
+            groups.append((batch_values[1][:, 0, :], stage2_local, zeta,
+                           h_trace, 2 * w))
+            groups.append((batch_values[1][:, 0, :], stage2_next, zeta_next,
+                           h_trace, 2 * w + s2w))
+        groups.append(
             (
-                batch_values[1].reshape(Q, nchunks * D),
+                batch_values[qb].reshape(Q, nchunks * D),
                 GL2(quotient_chunks.c0.reshape(nchunks * D),
                     quotient_chunks.c1.reshape(nchunks * D)),
                 zeta,
                 h_quot,
-                (2 * w if h_quot == h_trace else 0),
+                (2 * w + 2 * s2w if h_quot == h_trace else 0),
             ),
-        ]
+        )
 
         def _tree_sum(v: GL2) -> GL2:
             # sum over last axis (pad to a power of two with zeros)
@@ -405,7 +440,9 @@ class TpuVerifier:
         return verdict
 
     def _final_fn(self, alpha: GL2, zeta: GL2, trace_local: GL2,
-                  trace_next: GL2, quotient_chunks: GL2, publics=None):
+                  trace_next: GL2, quotient_chunks: GL2, publics=None,
+                  stage2_local: GL2 = None, stage2_next: GL2 = None,
+                  challenges=None):
         """Quotient reconstruction + Lagrange selectors + AIR folding
         (verifier.rs:169-239).  `publics` is a pytree of GL2 scalars (the
         AIR's public values) passed as a RUNTIME input so AIR instances
@@ -454,6 +491,11 @@ class TpuVerifier:
         )
         main.local_vec = trace_local    # stacked GL2 (width,) for wide AIRs
         main.next_vec = trace_next
+        if self.s2w:
+            main.stage2_local = [stage2_local[i] for i in range(self.s2w)]
+            main.stage2_next = [stage2_next[i] for i in range(self.s2w)]
+            main.stage2_local_vec = stage2_local
+            main.stage2_next_vec = stage2_next
         folder = VerifierConstraintFolder(
             ops=gl2.Ops(()),
             main=main,
@@ -462,6 +504,7 @@ class TpuVerifier:
             is_transition=is_transition,
             alpha=alpha,
             publics=publics,
+            challenges=challenges,
         )
         self.air.eval(folder)
         folded_constraints = folder.accumulator
@@ -483,15 +526,21 @@ class TpuVerifier:
             return False
         # config.trace_width is proof-derived; the AIR must agree too
         # (the reference's panic at verifier.rs:126-133 compares air.width()).
-        return len(proof.opened_values.trace_local) == self.air.width()
+        return (len(proof.opened_values.trace_local) == self.air.width()
+                and len(proof.opened_values.stage2_local or [])
+                == self.air.stage2_width())
 
     def verify_witness(self, w: Dict) -> VerifyResult:
         """Run all stages on packed witness arrays."""
         t = self._s_transcript(w["obs"])
         index = t["index"]
 
+        commits = [t["trace_commit"]]
+        if self.s2w:
+            commits.append(t["stage2_commit"])
+        commits.append(t["quotient_commit"])
         merkle_ok = None
-        for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+        for b, commit in enumerate(commits):
             okb = self._s_batch(
                 index, w["batch_values"][b], w["batch_sibs"][b], commit
             )
@@ -502,6 +551,7 @@ class TpuVerifier:
             index, t["zeta"], t["zeta_next"], t["alpha_fri"],
             tuple(w["batch_values"]),
             w["trace_local"], w["trace_next"], w["quotient_chunks"],
+            w.get("stage2_local"), w.get("stage2_next"),
         )
 
         fold_ok = self._s_fold(
@@ -512,6 +562,8 @@ class TpuVerifier:
         quotient_ok = self._s_final(
             t["alpha"], t["zeta"], w["trace_local"], w["trace_next"],
             w["quotient_chunks"], _publics_device(self.air),
+            w.get("stage2_local"), w.get("stage2_next"),
+            t.get("challenges"),
         )
 
         ok = t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok

@@ -44,6 +44,8 @@ def pack_witness(proof: Proof, config: P3Config) -> Dict:
     # 363-376): trace commit, quotient commit, per-phase commits, pow witness
     obs: List[int] = []
     obs += proof.commitments.trace.value
+    if proof.commitments.stage2 is not None:   # multi-stage AIRs (air.py)
+        obs += proof.commitments.stage2.value
     obs += proof.commitments.quotient_chunks.value
     for c in fp.commit_phase_commits:
         obs += c.value
@@ -80,7 +82,7 @@ def pack_witness(proof: Proof, config: P3Config) -> Dict:
                 for e in range(DIGEST_ELEMS):
                     fold_sibs[l, q, t, e] = op[t][e]
 
-    return {
+    out = {
         "obs": _gl(obs),
         "trace_local": _gl2_list(proof.opened_values.trace_local),
         "trace_next": _gl2_list(proof.opened_values.trace_next),
@@ -96,6 +98,10 @@ def pack_witness(proof: Proof, config: P3Config) -> Dict:
             _gl(fp.final_poly[0]), _gl(fp.final_poly[1])
         ),
     }
+    if proof.opened_values.stage2_local is not None:
+        out["stage2_local"] = _gl2_list(proof.opened_values.stage2_local)
+        out["stage2_next"] = _gl2_list(proof.opened_values.stage2_next)
+    return out
 
 
 def fold_valid_mask(config: P3Config) -> np.ndarray:

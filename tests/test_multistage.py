@@ -85,6 +85,32 @@ def test_stage2_required(rlc_proof):
     assert not verify(bad, RlcAir(), FC).ok
 
 
+def test_device_verifier_multistage(rlc_proof):
+    """TpuVerifier handles the 3-batch multi-stage layout: transcript
+    challenges, stage-2 commitment observe, stage-2 reduced-opening terms,
+    and folder.challenges in the constraint finale."""
+    from plonky25_tpu.verifier import verify_proof
+
+    proof, _ = rlc_proof
+    res = verify_proof(proof, RlcAir(), FC)
+    assert res.shape_ok
+    assert bool(res.ok), (
+        bool(res.pow_ok), bool(res.merkle_ok),
+        bool(res.fold_ok), bool(res.quotient_ok),
+    )
+
+    bad = copy.deepcopy(proof)
+    c0, c1 = bad.opened_values.stage2_local[0]
+    bad.opened_values.stage2_local[0] = (
+        (c0 + 1) % ((1 << 64) - (1 << 32) + 1), c1)
+    assert not bool(verify_proof(bad, RlcAir(), FC).ok)
+
+    bad2 = copy.deepcopy(proof)
+    bad2.commitments.stage2.value = list(bad2.commitments.stage2.value)
+    bad2.commitments.stage2.value[0] ^= 1
+    assert not bool(verify_proof(bad2, RlcAir(), FC).ok)
+
+
 def test_stage2_wrong_gamma_binding(rlc_proof):
     """A stage-2 matrix built against the WRONG challenge must fail: swap
     the stage-2 columns of two otherwise-identical proofs with different
