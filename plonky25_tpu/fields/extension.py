@@ -152,6 +152,22 @@ def two_adic_generator_int(bits: int) -> int:
     return pow(TWO_ADIC_GENERATOR_32, 1 << (TWO_ADICITY - bits), P)
 
 
+def ext_two_adic_generator_int(bits: int) -> tuple:
+    """GF(p^2) two-adic generator as (c0, c1) host ints — the extension
+    field's two-adicity is 33 (p3_ext_two_adic_generator, reference
+    src/p3/extension.rs:159-171: the bits == 33 branch reverses the
+    coefficient array, i.e. the generator lies on the X axis; note the
+    reference's `32 - bits` exponent count underflows for 33 and is
+    unreachable in its tests — the value used here is plonky3's
+    ext_two_adic_generator constant, which equals the square root of
+    g_32/7 (so (0, w)^2 = 7*w^2 = g_32, giving exact order 2^33; the
+    derivation is checked in tests/test_extension.py)."""
+    assert 0 <= bits <= TWO_ADICITY + 1
+    if bits == TWO_ADICITY + 1:
+        return (0, 15659105665374529263)
+    return (two_adic_generator_int(bits), 0)
+
+
 def broadcast_to(x: GL2, shape):
     return GL2(gl.broadcast_to(x.c0, shape), gl.broadcast_to(x.c1, shape))
 

@@ -144,3 +144,125 @@ def div(x: GL3, y: GL3) -> GL3:
 
 def eq(x: GL3, y: GL3):
     return gl.eq(x.c0, y.c0) & gl.eq(x.c1, y.c1) & gl.eq(x.c2, y.c2)
+
+
+def mul_base(x: GL3, b: GL) -> GL3:
+    return GL3(gl.mul(x.c0, b), gl.mul(x.c1, b), gl.mul(x.c2, b))
+
+
+def monomial(exponent: int, shape=()) -> GL3:
+    """1, X or X^2 (extension.rs:558-562, D=3 arm)."""
+    cs = [gl.zeros(shape)] * 3
+    cs[exponent] = gl.ones(shape)
+    return GL3(*cs)
+
+
+def stack(elems, axis=0):
+    return GL3(
+        gl.stack([e.c0 for e in elems], axis=axis),
+        gl.stack([e.c1 for e in elems], axis=axis),
+        gl.stack([e.c2 for e in elems], axis=axis),
+    )
+
+
+def broadcast_to(x: GL3, shape):
+    return GL3(gl.broadcast_to(x.c0, shape), gl.broadcast_to(x.c1, shape),
+               gl.broadcast_to(x.c2, shape))
+
+
+class Ops:
+    """GF(p^3) ops adapter for the backend-agnostic AIR folder — the D=3
+    counterpart of extension.Ops, so the EXT_DEGREE choice is a matter of
+    which adapter (and which opened-value packing) a verifier wires in
+    (the reference selects by its EXT_DEGREE constant, p3/constants.rs)."""
+
+    def __init__(self, shape=()):
+        self._shape = shape
+
+    @property
+    def point_ndim(self):
+        return len(self._shape)
+
+    def add(self, x, y):
+        return add(x, y)
+
+    def sub(self, x, y):
+        return sub(x, y)
+
+    def mul(self, x, y):
+        return mul(x, y)
+
+    def zero(self):
+        return zeros(self._shape)
+
+    def one(self):
+        return ones(self._shape)
+
+    def from_base(self, b):
+        if isinstance(b, GL):
+            return from_base(b)
+        z = gl.zeros(self._shape)
+        return GL3(gl.full(self._shape, int(b)), z, z)
+
+    @staticmethod
+    def from_parts(a: GL3, b: GL3, c: GL3 = None) -> GL3:
+        """a + X*b + X^2*c: view base trace columns as one GF(p^3) value
+        (see extension.Ops.from_parts for why this is valid at every
+        evaluation point)."""
+        x = monomial(1, a.c0.shape)
+        out = add(a, mul(x, b))
+        if c is not None:
+            out = add(out, mul(mul(x, x), c))
+        return out
+
+    @staticmethod
+    def stack(vals):
+        return stack(vals)
+
+    @staticmethod
+    def concat(vals):
+        return GL3(
+            gl.concatenate([v.c0 for v in vals], axis=0),
+            gl.concatenate([v.c1 for v in vals], axis=0),
+            gl.concatenate([v.c2 for v in vals], axis=0),
+        )
+
+    @staticmethod
+    def take(vec: GL3, idx):
+        import numpy as _np
+
+        return vec[_np.asarray(idx)]
+
+    def const_base(self, ints):
+        c0 = gl.from_u64(list(ints))
+        c0 = GL(
+            c0.lo.reshape(c0.lo.shape + (1,) * self.point_ndim),
+            c0.hi.reshape(c0.hi.shape + (1,) * self.point_ndim),
+        )
+        z = gl.zeros(c0.lo.shape)
+        return GL3(c0, z, z)
+
+    def fold_constraints(self, alpha: GL3, constraints) -> GL3:
+        import jax as _jax
+        from jax import lax as _lax
+
+        if not constraints:
+            return self.zero()
+        pnd = self.point_ndim
+
+        def norm(c: GL3) -> GL3:
+            def fix(a):
+                nd_extra = max(a.ndim - pnd, 0)
+                lead = tuple(a.shape[:nd_extra]) if nd_extra else (1,)
+                a = jnp.broadcast_to(a, lead + self._shape)
+                return a.reshape((-1,) + self._shape)
+            return _jax.tree.map(fix, c)
+
+        rows = [norm(c) for c in constraints]
+        stacked = _jax.tree.map(lambda *xs: jnp.concatenate(xs), *rows)
+
+        def body(acc, c):
+            return add(mul(acc, alpha), c), None
+
+        acc, _ = _lax.scan(body, self.zero(), stacked)
+        return acc

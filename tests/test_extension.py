@@ -115,3 +115,53 @@ def test_gl3_inv_roundtrip():
     prod = gl3.to_u64_triple(gl3.mul(gl3.inv(X), X))
     for k in range(len(triples)):
         assert (int(prod[0][k]), int(prod[1][k]), int(prod[2][k])) == (1, 0, 0)
+
+
+def test_ext_two_adic_generator_int():
+    """p3_ext_two_adic_generator (extension.rs:159-171) incl. the
+    bits == 33 special case: the generator lies on the X axis and has
+    exact multiplicative order 2^33 in GF(p^2)."""
+    from plonky25_tpu.refimpl.field import Gl2
+
+    for bits in (0, 1, 7, 32):
+        want = (gl2.two_adic_generator_int(bits), 0)
+        assert gl2.ext_two_adic_generator_int(bits) == want
+
+    g = gl2.ext_two_adic_generator_int(33)
+    assert g[0] == 0 and g[1] != 0
+    # plonky3's constant is sqrt(g_32 / 7): squaring (0, w) gives 7*w^2
+    assert 7 * g[1] * g[1] % P == gl2.two_adic_generator_int(32)
+    # order exactly 2^33: g^(2^32) == -1, so g^(2^33) == 1
+    acc = g
+    for _ in range(32):
+        acc = Gl2.mul(acc, acc)
+    assert acc == (P - 1, 0)
+    assert Gl2.mul(acc, acc) == (1, 0)
+
+
+def test_gl3_ops_folder_parity():
+    """The D=3 Ops adapter folds constraints identically to an int
+    oracle: acc = acc*alpha + c over GF(p^3)."""
+    from plonky25_tpu.fields import extension3 as gl3
+
+    rng = random.Random(424242)
+    alpha_t = tuple(rng.randrange(P) for _ in range(3))
+    cs_t = [tuple(rng.randrange(P) for _ in range(3)) for _ in range(7)]
+
+    ops = gl3.Ops(())
+    alpha = gl3.from_u64_triple(*[[alpha_t[i]] for i in range(3)])[0]
+    cs = [gl3.from_u64_triple(*[[c[i]] for i in range(3)])[0] for c in cs_t]
+    got = gl3.to_u64_triple(ops.fold_constraints(alpha, cs))
+
+    acc = (0, 0, 0)
+    for c in cs_t:
+        acc = _gl3_mul_int(acc, alpha_t)
+        acc = tuple((a + b) % P for a, b in zip(acc, c))
+    assert (int(got[0]), int(got[1]), int(got[2])) == acc
+
+    # from_parts at a base point: a + X*b + X^2*c == (a0, b0, c0)
+    a = gl3.from_base(gl3.ones(()).c0)
+    b = gl3.from_u64_triple([5], [0], [0])[0]
+    c = gl3.from_u64_triple([9], [0], [0])[0]
+    fp = gl3.to_u64_triple(gl3.Ops.from_parts(a, b, c))
+    assert (int(fp[0]), int(fp[1]), int(fp[2])) == (1, 5, 9)
