@@ -711,6 +711,66 @@ def check_attestation(bundle: AttestationBundle, proof: Proof, air,
                                bundle.att_fri_config).ok)
 
 
+# ----------------------------------------------------------- serialization
+
+def bundle_to_json(bundle) -> Dict:
+    """JSON form of an Attestation/MultiAttestationBundle — the analogue of
+    the reference persisting its output proof (src/p3/mod.rs:261).  The
+    inner STARK reuses the byte-exact proof schema (proof.py)."""
+    from .proof import proof_to_json
+
+    fc = bundle.att_fri_config
+    out = {
+        "stark": proof_to_json(bundle.stark),
+        "gamma": list(bundle.gamma),
+        "acc": list(bundle.acc),
+        "acc_out": list(bundle.acc_out),
+        "att_fri_config": {
+            "log_blowup": fc.log_blowup,
+            "num_queries": fc.num_queries,
+            "proof_of_work_bits": fc.proof_of_work_bits,
+        },
+        "n_rows": bundle.n_rows,
+    }
+    if isinstance(bundle, MultiAttestationBundle):
+        out["samples"] = [list(s) for s in bundle.samples]
+    else:
+        out["samples"] = list(bundle.samples)
+    return out
+
+
+def bundle_from_json(obj: Dict):
+    """Inverse of bundle_to_json; nested samples select the multi form."""
+    from .proof import proof_from_json
+
+    fc = FriConfig(**obj["att_fri_config"])
+    multi = bool(obj["samples"]) and isinstance(obj["samples"][0], list)
+    cls = MultiAttestationBundle if multi else AttestationBundle
+    return cls(
+        stark=proof_from_json(obj["stark"]),
+        samples=obj["samples"],
+        gamma=tuple(obj["gamma"]),
+        acc=tuple(obj["acc"]),
+        acc_out=tuple(obj["acc_out"]),
+        att_fri_config=fc,
+        n_rows=obj["n_rows"],
+    )
+
+
+def save_bundle(bundle, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(bundle_to_json(bundle), f)
+
+
+def load_bundle(path: str):
+    import json
+
+    with open(path) as f:
+        return bundle_from_json(json.load(f))
+
+
 # ------------------------------------------------------- batch aggregation
 
 @dataclass

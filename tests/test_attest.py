@@ -302,3 +302,60 @@ def test_device_instrumented_verify_matches_oracle(small_proof):
     assert ok and tr.ok
     assert samples == ch.samples
     assert leaves == tr.fold_leaves
+
+
+@pytest.mark.slow
+def test_bundle_serialization_roundtrip(small_proof):
+    """JSON save/load of attestation bundles (reference precedent: the
+    output proof persisted at src/p3/mod.rs:261): a re-loaded bundle
+    checks out-of-process, byte-identically."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+
+    bundle = A.attest(small_proof, FibonacciAir(), FC, att_fri_config=ATT_FC,
+                      use_device_prover=False)
+    blob = json.dumps(A.bundle_to_json(bundle))
+    again = A.bundle_from_json(json.loads(blob))
+    assert A.bundle_to_json(again) == A.bundle_to_json(bundle)
+    assert A.check_attestation(again, small_proof, FibonacciAir(), FC,
+                               use_device_verifier=False,
+                               att_fri_config=ATT_FC)
+    # multi-bundle form round-trips through the same entry points
+    mb = A.attest_many([small_proof], FibonacciAir(), FC,
+                       att_fri_config=ATT_FC, use_device_prover=False)
+    again_mb = A.bundle_from_json(json.loads(json.dumps(A.bundle_to_json(mb))))
+    assert isinstance(again_mb, A.MultiAttestationBundle)
+    assert A.check_attestations(again_mb, [small_proof], FibonacciAir(), FC,
+                                use_device_verifier=False,
+                                att_fri_config=ATT_FC)
+    # cross-process: save to disk, re-check from a fresh interpreter
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        path = f.name
+    A.save_bundle(bundle, path)
+    import os
+    proof_path = path + ".proof"
+    from plonky25_tpu.proof import proof_to_json
+    with open(proof_path, "w") as f:
+        json.dump(proof_to_json(small_proof), f)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import json\n"
+        "from plonky25_tpu import attest as A, load_proof\n"
+        "from plonky25_tpu.proof import FriConfig\n"
+        "from plonky25_tpu.models.fibonacci import FibonacciAir\n"
+        f"b = A.load_bundle({path!r})\n"
+        f"p = load_proof({proof_path!r})\n"
+        "fc = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)\n"
+        "att = FriConfig(log_blowup=1, num_queries=10, proof_of_work_bits=4)\n"
+        "ok = A.check_attestation(b, p, FibonacciAir(), fc,\n"
+        "                         use_device_verifier=False,\n"
+        "                         att_fri_config=att)\n"
+        "print('CROSSPROC', ok)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/root/repo", timeout=600)
+    assert "CROSSPROC True" in out.stdout, out.stderr[-2000:]
+    os.unlink(path)
+    os.unlink(proof_path)
