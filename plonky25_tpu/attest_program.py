@@ -1,0 +1,912 @@
+"""Verification-program schedule for the self-contained attestation.
+
+Compiles one Plonky3 verification (src/p3/verifier.rs:100-519) into the
+canonical row schedule of a VerifierAir trace (models/verifier_air.py):
+
+  * hash rows ('t'/'c'/'l') — the Fiat-Shamir transcript and Merkle
+    chains, as in the round-2 attestation;
+  * algebra rows ('a') — one GF(p^2) fused multiply-add each, carrying
+    the verification's field algebra: reduced-opening accumulation
+    (verifier.rs:296-344), FRI fold interpolation (:419-519), quotient
+    reconstruction / Lagrange selectors / AIR folding (:169-239);
+  * fold-leaf rows ('f') — hash chain starts whose lanes are constrained
+    equal to the in-trace-derived FRI fold evals (registers R8/R9).
+
+The SCHEDULE (control bits + canonically-loaded operand values) is a pure
+function of (proof bytes, Fiat-Shamir samples, shape constants) — the
+checker builds it with NO field arithmetic beyond the binding accumulator
+itself: only byte marshaling, bit masking/selection, and shape-derived
+constants (two-adic generator powers, coset shifts — the analogue of the
+reference baking `p3_constant(...)`s into its circuit at build time).
+Derived values (interpolations, inverses, accumulators) exist only in the
+prover-side EXECUTION of the program (execute_program), never host-side
+in the checker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from .constants import GOLDILOCKS_P as P, EXT_DEGREE, RATE, WIDTH
+from .models.poseidon2_air import CORE_WIDTH as CORE_W
+from .models.verifier_air import (
+    ACC_OFF,
+    B_COL,
+    E0_REG,
+    E1_REG,
+    M_OFF,
+    MLA_COL,
+    MLB_COL,
+    MLC_COL,
+    MO_OFF,
+    MR_OFF,
+    NUM_COLS,
+    NUM_REGS,
+    PA_OFF,
+    PACK1_BITS,
+    PACK1_COL,
+    PACK2_BITS,
+    PACK2_COL,
+    PB_OFF,
+    PC_OFF,
+    PD_OFF,
+    R_OFF,
+    SEL_A,
+    SEL_C,
+    SEL_F,
+    SEL_L,
+    SEL_T,
+    SLOT_IN,
+    SLOT_OUT,
+    SLOT_PACK1,
+    SLOT_PACK2,
+    SLOT_R,
+    SLOT_SHIFT,
+    SLOT_U,
+    UA_OFF,
+    UB_OFF,
+    UC_OFF,
+)
+from .proof import Proof
+from .refimpl.domains import TwoAdicMultiplicativeCoset
+from .refimpl.field import Gl, Gl2
+from .utils.bits import log2_strict
+
+ZERO2 = (0, 0)
+ONE2 = (1, 0)
+NEG1 = (P - 1, 0)
+NEG2 = (P - 2, 0)
+X2 = (0, 1)   # the GF(p^2) monomial X
+
+
+@dataclass
+class VRow:
+    """One canonical trace row (control + canonically-bound values)."""
+
+    sel: str                                  # 't'|'c'|'l'|'f'|'a'
+    b: int = 0
+    absorbed: Tuple = ()                      # ((lane, value), ...)
+    exposed: Tuple = ()                       # ((lane, value), ...)
+    # algebra ('a') rows: R[dst] = ua * ub + uc
+    pa: int = -1                              # route ua from register
+    pb: int = -1
+    pd: int = -1                              # route uc from register
+    la: Optional[Tuple] = None                # canonical ext load for ua
+    lb: Optional[Tuple] = None
+    lc: Optional[Tuple] = None
+    free_b: Optional[Tuple] = None            # ("inv", reg): ub = 1/R[reg]
+    dst: int = -1
+    assert_val: Optional[Tuple] = None        # bind R[dst] to this value
+
+
+# ------------------------------------------------------------- assembler
+
+class _Handle:
+    """Operand handle: a live register or a canonical constant."""
+
+    __slots__ = ("kind", "val")
+
+    def __init__(self, kind, val):
+        self.kind = kind    # "reg" | "const"
+        self.val = val
+
+    def __repr__(self):
+        return f"_{self.kind}:{self.val}"
+
+
+def K(v) -> _Handle:
+    """Canonical ext constant (int or (c0, c1) pair)."""
+    if isinstance(v, tuple):
+        return _Handle("const", (v[0] % P, v[1] % P))
+    return _Handle("const", (v % P, 0))
+
+
+class _Asm:
+    """Emits 'a' rows; allocates registers with liveness tracking."""
+
+    def __init__(self, rows: List[VRow]):
+        self.rows = rows
+        self._free = [k for k in range(NUM_REGS)
+                      if k not in (E0_REG, E1_REG)]
+        self._epinned = False
+
+    def alloc(self) -> _Handle:
+        if not self._free:
+            raise RuntimeError("out of attestation program registers")
+        return _Handle("reg", self._free.pop())
+
+    def alloc_e(self) -> Tuple[_Handle, _Handle]:
+        """The pinned e0/e1 registers hashed by 'f' rows."""
+        assert not self._epinned
+        self._epinned = True
+        return _Handle("reg", E0_REG), _Handle("reg", E1_REG)
+
+    def free(self, *hs):
+        for h in hs:
+            if h.kind == "reg":
+                if h.val in (E0_REG, E1_REG):
+                    self._epinned = False
+                else:
+                    self._free.append(h.val)
+            h.kind = "dead"
+
+    def fma(self, a: _Handle, b: _Handle, c: _Handle,
+            dst: Optional[_Handle] = None,
+            assert_val: Optional[Tuple] = None) -> _Handle:
+        """R[dst] = a*b + c; returns the dst handle (fresh unless given)."""
+        if dst is None:
+            dst = self.alloc()
+        row = VRow(sel="a", dst=dst.val, assert_val=assert_val)
+        for h, rattr, lattr in ((a, "pa", "la"), (b, "pb", "lb"),
+                                (c, "pd", "lc")):
+            if h.kind == "reg":
+                setattr(row, rattr, h.val)
+            elif h.kind == "const":
+                setattr(row, lattr, h.val)
+            else:
+                raise ValueError(f"dead/invalid operand {h}")
+        self.rows.append(row)
+        return dst
+
+    def inv(self, den: _Handle) -> _Handle:
+        """w = 1/R[den], pinned by a product-equals-one assert."""
+        w = self.alloc()
+        row = VRow(sel="a", dst=w.val, la=ONE2, free_b=("inv", den.val),
+                   lc=ZERO2)
+        self.rows.append(row)
+        chk = self.fma(den, w, K(ZERO2), assert_val=ONE2)
+        self.free(chk)
+        return w
+
+    def mul(self, a, b, **kw):
+        return self.fma(a, b, K(ZERO2), **kw)
+
+    def add(self, a, b, **kw):
+        return self.fma(a, K(ONE2), b, **kw)
+
+    def sub(self, a, b, **kw):
+        """a - b  (as (-1)*b + a)."""
+        return self.fma(b, K(NEG1), a, **kw)
+
+    def assert_eq_const(self, reg: _Handle, val: Tuple):
+        chk = self.fma(reg, K(ONE2), K(ZERO2), assert_val=val)
+        self.free(chk)
+
+
+# ------------------------------------------------- hash row constructors
+
+def _leaf_rows(flat_vals: List[int]) -> List[VRow]:
+    """Overwrite-mode sponge rows for one leaf (commit.rs:23-46)."""
+    rows = []
+    for off in range(0, len(flat_vals), RATE):
+        chunk = flat_vals[off:off + RATE]
+        rows.append(VRow(
+            sel="l" if off == 0 else "t",
+            absorbed=tuple((j, v % P) for j, v in enumerate(chunk))))
+    return rows
+
+
+def _path_rows(index: int, siblings: List[List[int]],
+               root_vals: List[int]) -> List[VRow]:
+    """Compress-chain rows for one Merkle path; last row exposes the
+    root (canonically: the commitment)."""
+    rows = []
+    idx = index
+    for sib in siblings:
+        b = idx & 1
+        lanes = range(0, 4) if b else range(4, 8)
+        rows.append(VRow(sel="c", b=b,
+                         absorbed=tuple((j, v % P)
+                                        for j, v in zip(lanes, sib))))
+        idx >>= 1
+    rows[-1].exposed = tuple((j, v % P) for j, v in enumerate(root_vals))
+    return rows
+
+
+def _obs_values(proof: Proof) -> List[int]:
+    fp = proof.opening_proof.fri_proof
+    obs: List[int] = []
+    obs += proof.commitments.trace.value
+    obs += proof.commitments.quotient_chunks.value
+    for c in fp.commit_phase_commits:
+        obs += c.value
+    obs.append(fp.pow_witness)
+    return obs
+
+
+def _transcript_rows(proof: Proof, config, samples: List[int]) -> List[VRow]:
+    """Transcript duplex rows from the symbolic schedule (single-stage
+    target proofs; verifier.rs:135-140, 363-376)."""
+    from .challenger import SymbolicChallenger
+
+    fc = config.fri_config
+    sym = SymbolicChallenger()
+    sym.observe(4)
+    sym.sample_ext()                  # alpha
+    sym.observe(4)
+    sym.sample_ext()                  # zeta
+    sym.sample_ext()                  # alpha_fri
+    for _ in range(config.log_trace_height):
+        sym.observe(4)
+        sym.sample_ext()              # beta
+    sym.observe(1)                    # pow witness
+    sym.sample()                      # pow check
+    for _ in range(fc.num_queries):
+        sym.sample()                  # query index sample
+
+    obs = _obs_values(proof)
+    rows = [
+        VRow(sel="t",
+             absorbed=tuple((lane, obs[oid] % P)
+                            for lane, oid in enumerate(step)))
+        for step in sym.steps
+    ]
+    rows[0].sel = "l"     # chain start (concatenable schedules)
+    exposed: Dict[int, List] = {}
+    for i, (step, lane) in enumerate(sym.sample_srcs):
+        exposed.setdefault(step, []).append((lane, samples[i] % P))
+    for step, lanes in exposed.items():
+        rows[step].exposed = tuple(lanes)
+    return rows
+
+
+# -------------------------------------------------------- the verification
+
+def n_presamples(config) -> int:
+    """Samples before the query indices: alpha, zeta, alpha_fri (2 each),
+    betas (2 per phase), pow (1)."""
+    return 6 + 2 * config.log_trace_height + 1
+
+
+def expected_sample_count(config) -> int:
+    return n_presamples(config) + config.fri_config.num_queries
+
+
+def build_verification_schedule(proof: Proof, config, air,
+                                samples: List[int]) -> List[VRow]:
+    """The canonical rows of ONE verification (hash + algebra).
+
+    Checker-grade: consumes only proof bytes, `samples`, and shape
+    constants.  Raises on shape mismatch (callers pre-validate with
+    check_proof_shape)."""
+    fc = config.fri_config
+    fp = proof.opening_proof.fri_proof
+    L = config.log_trace_height
+    log_max = L + fc.log_blowup
+    Q = fc.num_queries
+    w = config.trace_width
+    nchunks = 1 << config.log_quotient_degree
+    assert air.stage2_width() == 0, \
+        "attestation of multi-stage target proofs is not supported yet"
+    assert len(samples) == expected_sample_count(config)
+
+    degree = 1 << config.degree_bits
+    trace_domain = TwoAdicMultiplicativeCoset.natural_domain_for_degree(
+        L, degree)
+    qd = trace_domain.create_disjoint_domain(
+        1 << (config.degree_bits + config.log_quotient_degree))
+    quotient_chunks_domains = qd.split_domains(nchunks)
+
+    h_tr = log2_strict(trace_domain.size()) + fc.log_blowup
+    mats = [{"batch": 0, "row": 0, "log_height": h_tr}]
+    for c, dom in enumerate(quotient_chunks_domains):
+        mats.append({"batch": 1, "row": c,
+                     "log_height": log2_strict(dom.size()) + fc.log_blowup})
+
+    ov = proof.opened_values
+    zeta = (samples[2] % P, samples[3] % P)
+    alpha = (samples[0] % P, samples[1] % P)
+    alpha_fri = (samples[4] % P, samples[5] % P)
+    betas = [(samples[6 + 2 * l] % P, samples[7 + 2 * l] % P)
+             for l in range(L)]
+    n_pre = n_presamples(config)
+
+    # per-height term buckets, in the reference's exact order
+    # (batch, matrix, point, column — verifier.rs:296-344); each term is
+    # (z_kind, p_at_z) with p_at_x supplied per query later
+    buckets: Dict[int, List] = {}
+
+    def add_term(h, z_kind, batch, mrow, col, p_at_z):
+        buckets.setdefault(h, []).append((z_kind, batch, mrow, col, p_at_z))
+
+    for col in range(w):
+        add_term(h_tr, "zeta", 0, 0, col, ov.trace_local[col])
+    for col in range(w):
+        add_term(h_tr, "zeta_next", 0, 0, col, ov.trace_next[col])
+    for c in range(nchunks):
+        h = mats[1 + c]["log_height"]
+        for e in range(EXT_DEGREE):
+            add_term(h, "zeta", 1, c, e, tuple(ov.quotient_chunks[c][e]))
+
+    # fold level l consumes the bucket at height log_max - l
+    bucket_of_level = {}
+    for h in buckets:
+        lvl = log_max - h
+        assert 0 <= lvl < L, f"opening height {h} outside fold range"
+        assert lvl not in bucket_of_level
+        bucket_of_level[lvl] = h
+
+    rows: List[VRow] = _transcript_rows(proof, config, samples)
+    asm = _Asm(rows)
+
+    # zeta_next = zeta * g_trace — in-trace, once (the only sample-derived
+    # value the reduced openings need besides zeta itself)
+    r_zeta_next = asm.fma(K(zeta), K(trace_domain.gen()), K(ZERO2))
+
+    g_pows = {}   # shape constants: g_h^(2^t)
+
+    def gpow(h, t):
+        key = (h, t)
+        if key not in g_pows:
+            g_pows[key] = pow(Gl.two_adic_generator(h), 1 << t, P)
+        return g_pows[key]
+
+    def emit_pow_chain(h, bits_msb_first, init=1):
+        """r = init * g_h^(rev-indexed product): one row per bit; the
+        per-bit multiplier is a canonical SELECT (bit ? g^(2^t) : 1) —
+        bit selection, not field math, checker-side."""
+        r = asm.fma(K(init), K(ONE2), K(ZERO2))
+        # rev_bits_len(i, h): bit t of rev = bit (h-1-t) of i; the chain
+        # multiplies g^(2^t) when rev bit t is set
+        for t, bit in enumerate(bits_msb_first):
+            c = gpow(h, t) if bit else 1
+            r = asm.fma(r, K(c), K(ZERO2), dst=r)
+        return r
+
+    for q in range(Q):
+        index = samples[n_pre + q] % P & ((1 << log_max) - 1)
+        batches = proof.opening_proof.query_openings[q]
+        commits = [proof.commitments.trace.value,
+                   proof.commitments.quotient_chunks.value]
+        # ---- batch leaf + path hash rows (as round-2) ------------------
+        for b_i, batch in enumerate(batches):
+            flat = [v for mrow in batch.opened_values for v in mrow]
+            rows += _leaf_rows(flat)
+            rows += _path_rows(index, batch.opening_proof, commits[b_i])
+
+        # ---- fold: x_init = g_logmax^rev(index) (verifier.rs:431-436)
+        bits = [(index >> (log_max - 1 - t)) & 1 for t in range(log_max)]
+        r_x = emit_pow_chain(log_max, bits)
+        r_fold = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))   # folded = 0
+
+        idx_l = index
+        for lvl in range(L):
+            # -- reduced-opening bucket consumed at this level ------------
+            if lvl in bucket_of_level:
+                h = bucket_of_level[lvl]
+                shift = log_max - h
+                hbits = [((index >> shift) >> (h - 1 - t)) & 1
+                         for t in range(h)]
+                r_xh = emit_pow_chain(h, hbits, init=7)
+                r_ro = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
+                r_pow = asm.fma(K(ONE2), K(ONE2), K(ZERO2))
+                invs = {}
+                for z_kind in ("zeta", "zeta_next"):
+                    if not any(t[0] == z_kind for t in buckets[h]):
+                        continue
+                    if z_kind == "zeta":
+                        r_den = asm.fma(K(zeta), K(NEG1), r_xh)
+                    else:
+                        r_den = asm.fma(r_zeta_next, K(NEG1), r_xh)
+                    invs[z_kind] = asm.inv(r_den)
+                    asm.free(r_den)
+                asm.free(r_xh)
+                for z_kind, batch, mrow, col, p_at_z in buckets[h]:
+                    p_at_x = batches[batch].opened_values[mrow][col]
+                    r_num = asm.fma(K(p_at_z), K(NEG1), K((p_at_x % P, 0)))
+                    r_t = asm.mul(r_num, r_pow)
+                    asm.fma(r_t, invs[z_kind], r_ro, dst=r_ro)
+                    asm.free(r_num, r_t)
+                    asm.fma(r_pow, K(alpha_fri), K(ZERO2), dst=r_pow)
+                asm.free(r_pow, *invs.values())
+                asm.add(r_ro, r_fold, dst=r_fold)
+                asm.free(r_ro)
+
+            # -- fold step (verifier.rs:419-519) --------------------------
+            step = fp.query_proofs[q].commit_phase_openings[lvl]
+            sib = tuple(v % P for v in step.sibling_value)
+            is_odd = (idx_l ^ 1) & 1
+            beta = betas[lvl]
+            e0, e1 = asm.alloc_e()
+            r_t = asm.fma(K(sib), K(NEG1), r_fold)        # folded - sib
+            asm.fma(K((is_odd, 0)), r_t, K(sib), dst=e0)
+            asm.fma(K((1 - is_odd, 0)), r_t, K(sib), dst=e1)
+            asm.free(r_t)
+            r_xs0 = asm.fma(r_x, K(((2 * is_odd - 1) % P, 0)), K(ZERO2))
+            r_d = asm.sub(e1, e0)
+            r_bx = asm.fma(r_xs0, K(NEG1), K(beta))       # beta - xs0
+            r_num = asm.mul(r_d, r_bx)
+            asm.free(r_d, r_bx)
+            r_den = asm.fma(r_xs0, K(NEG2), K(ZERO2))     # xs1-xs0 = -2*xs0
+            asm.free(r_xs0)
+            r_w = asm.inv(r_den)
+            asm.free(r_den)
+            asm.fma(r_num, r_w, e0, dst=r_fold)           # e0 + num*w
+            asm.free(r_num, r_w)
+            asm.mul(r_x, r_x, dst=r_x)                    # x^2
+
+            # -- fold leaf hash ('f' reads prev-row R8/R9) + path ---------
+            rows.append(VRow(sel="f"))
+            asm.free(e0, e1)
+            rows += _path_rows(idx_l >> 1, step.opening_proof,
+                               fp.commit_phase_commits[lvl].value)
+            idx_l >>= 1
+
+        # folded_eval == final_poly (verifier.rs:517: the fold must land
+        # on the final polynomial's constant)
+        asm.assert_eq_const(r_fold, tuple(v % P for v in fp.final_poly))
+        asm.free(r_fold, r_x)
+
+    # ---- per-proof finale: quotient reconstruction + selectors + AIR
+    # folding (verifier.rs:169-239)
+    zps_host = []
+    for i, dom in enumerate(quotient_chunks_domains):
+        acc = 1
+        for j, other in enumerate(quotient_chunks_domains):
+            if j != i:
+                acc = Gl.mul(acc, Gl.inv(
+                    other.zp_at_single_point(dom.first_point())))
+        zps_host.append(acc)
+
+    # zp_j(zeta) = (zeta/shift_j)^(2^log_n_j) - 1
+    r_zp = []
+    for dom in quotient_chunks_domains:
+        r_u = asm.fma(K(zeta), K(Gl.inv(dom.shift)), K(ZERO2))
+        for _ in range(dom.log_n):
+            asm.mul(r_u, r_u, dst=r_u)
+        r_zp.append(asm.fma(r_u, K(ONE2), K(NEG1)))
+        asm.free(r_u)
+    # zps_i = host_factor_i * prod_{j != i} zp_j(zeta)
+    r_quot = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
+    for i in range(nchunks):
+        r_zpsi = asm.fma(K(ONE2), K((zps_host[i], 0)), K(ZERO2))
+        for j in range(nchunks):
+            if j != i:
+                asm.mul(r_zpsi, r_zp[j], dst=r_zpsi)
+        # quotient += zps_i * (c_i0 + X*c_i1)
+        c0 = tuple(ov.quotient_chunks[i][0])
+        c1 = tuple(ov.quotient_chunks[i][1])
+        r_m = asm.fma(K(c1), K(X2), K(c0))
+        r_term = asm.mul(r_zpsi, r_m)
+        asm.add(r_term, r_quot, dst=r_quot)
+        asm.free(r_zpsi, r_m, r_term)
+    asm.free(*r_zp)
+
+    # Lagrange selectors at zeta (two_adic.rs:92-122)
+    shift_inv = Gl.inv(trace_domain.shift)
+    r_un = asm.fma(K(zeta), K(shift_inv), K(ZERO2))
+    r_zh = asm.fma(r_un, K(ONE2), K(ZERO2))
+    for _ in range(trace_domain.log_n):
+        asm.mul(r_zh, r_zh, dst=r_zh)
+    asm.fma(r_zh, K(ONE2), K(NEG1), dst=r_zh)
+    r_dfirst = asm.fma(r_un, K(ONE2), K(NEG1))
+    gen_inv = Gl.inv(trace_domain.gen())
+    r_dlast = asm.fma(r_un, K(ONE2), K((P - gen_inv, 0)))
+    asm.free(r_un)
+    r_wf = asm.inv(r_dfirst)
+    r_wl = asm.inv(r_dlast)
+    asm.free(r_dfirst)
+    r_first = asm.mul(r_zh, r_wf)
+    r_last = asm.mul(r_zh, r_wl)
+    asm.free(r_wf, r_wl)
+    r_invz = asm.inv(r_zh)
+    asm.free(r_zh)
+
+    # AIR constraint folding with an incremental-fold asm folder
+    folder = _AsmFolder(asm, air, alpha, ov, r_first, r_last, r_dlast)
+    air.eval(folder)
+    r_folded = folder.acc
+    asm.free(r_first, r_last, r_dlast)
+
+    # folded * inv_zeroifier == quotient  (verifier.rs:238-239)
+    r_lhs = asm.mul(r_folded, r_invz)
+    asm.free(r_folded, r_invz)
+    r_diff = asm.fma(r_quot, K(NEG1), r_lhs)
+    asm.free(r_quot, r_lhs)
+    asm.assert_eq_const(r_diff, ZERO2)
+    asm.free(r_diff)
+
+    return rows
+
+
+class _AsmOps:
+    """GF(p^2) ops adapter emitting FMA rows (scalar surface — wide-AIR
+    vector helpers intentionally absent: attesting vector-constraint AIRs
+    would emit their constraints as unrolled scalars)."""
+
+    def __init__(self, asm: _Asm):
+        self.asm = asm
+        self.point_ndim = 0
+
+    def add(self, x, y):
+        return self.asm.add(x, y)
+
+    def sub(self, x, y):
+        return self.asm.sub(x, y)
+
+    def mul(self, x, y):
+        return self.asm.mul(x, y)
+
+    def zero(self):
+        return K(ZERO2)
+
+    def one(self):
+        return K(ONE2)
+
+    def from_base(self, b):
+        return K(int(b) % P)
+
+
+class _AsmFolder:
+    """VerifierConstraintFolder work-alike that folds each constraint
+    into the running accumulator AS IT IS ASSERTED (acc = acc*alpha + c,
+    identical order/math to air.rs:63-69) so constraint registers free
+    immediately — the register file is 10 wide."""
+
+    def __init__(self, asm: _Asm, air, alpha, ov, r_first, r_last, r_trans):
+        self.asm = asm
+        self.ops = _AsmOps(asm)
+        self.alpha = alpha
+        self.is_first_row = r_first
+        self.is_last_row = r_last
+        self.is_transition = r_trans
+        self.publics = {k: K(int(v) % P)
+                        for k, v in air.public_values().items()}
+        self.challenges = []
+        self.main = _MainView(ov)
+        self.acc = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
+
+    def when(self, condition):
+        return _AsmFiltered(self, condition)
+
+    def when_first_row(self):
+        return self.when(self.is_first_row)
+
+    def when_last_row(self):
+        return self.when(self.is_last_row)
+
+    def when_transition(self):
+        return self.when(self.is_transition)
+
+    def assert_zero(self, x):
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        for c in xs:
+            self.asm.fma(self.acc, K(self.alpha), c, dst=self.acc)
+            if c.kind == "reg":
+                self.asm.free(c)
+
+    def assert_eq(self, x, y):
+        self.assert_zero(self.ops.sub(x, y))
+
+    def assert_bool(self, x):
+        t = self.ops.sub(x, self.ops.one())
+        self.assert_zero(self.ops.mul(x, t))
+        if t.kind == "reg":
+            self.asm.free(t)
+
+
+class _AsmFiltered:
+    def __init__(self, inner: _AsmFolder, condition):
+        self.inner = inner
+        self.condition = condition
+
+    def assert_zero(self, x):
+        gated = self.inner.ops.mul(self.condition, x)
+        if getattr(x, "kind", None) == "reg":
+            self.inner.asm.free(x)
+        self.inner.assert_zero(gated)
+
+    def assert_eq(self, x, y):
+        self.assert_zero(self.inner.ops.sub(x, y))
+
+
+class _MainView:
+    """Opened values as canonical-constant handles."""
+
+    def __init__(self, ov):
+        self.trace_local = [K(v) for v in ov.trace_local]
+        self.trace_next = [K(v) for v in ov.trace_next]
+        self.quotient_chunks = [[K(tuple(e)) for e in ch]
+                                for ch in ov.quotient_chunks]
+
+
+def K_ext(pair) -> _Handle:   # convenience for tests
+    return K(tuple(pair))
+
+
+# --------------------------------------------------------------- executor
+
+def execute_program(rows: List[VRow]):
+    """Prover-side: run the algebra, returning per-row register file
+    snapshots (AFTER the row) and operand values — plain-int host math.
+    Also resolves each 'f' row's leaf lanes (= prev row's R8/R9)."""
+    regs = [ZERO2] * NUM_REGS
+    reg_rows = []
+    operands = []            # (ua, ub, uc) per row (zeros for hash rows)
+    f_lanes = []             # per 'f' row index: [4 lane values]
+    for i, r in enumerate(rows):
+        ua = ub = uc = ZERO2
+        if r.sel == "a":
+            ua = regs[r.pa] if r.pa >= 0 else (r.la or ZERO2)
+            if r.free_b is not None:
+                ub = Gl2.inv(regs[r.free_b[1]])
+            else:
+                ub = regs[r.pb] if r.pb >= 0 else (r.lb or ZERO2)
+            uc = regs[r.pd] if r.pd >= 0 else (r.lc or ZERO2)
+            regs = list(regs)
+            regs[r.dst] = Gl2.add(Gl2.mul(ua, ub), uc)
+            if r.assert_val is not None:
+                assert regs[r.dst] == tuple(v % P for v in r.assert_val), \
+                    f"program assert failed at row {i}"
+        elif r.sel == "f":
+            prev = reg_rows[-1]
+            f_lanes.append((i, [prev[E0_REG][0], prev[E0_REG][1],
+                                prev[E1_REG][0], prev[E1_REG][1]]))
+        reg_rows.append(regs)
+        operands.append((ua, ub, uc))
+    return reg_rows, operands, dict(f_lanes)
+
+
+# ------------------------------------------------------- canonical slots
+
+def _control_bits(r: VRow) -> Tuple[int, int]:
+    """(pack1, pack2) canonical values for one row."""
+    sel_bits = {"t": 0, "c": 1, "l": 2, "f": 3, "a": 4}
+    b1 = 1 << sel_bits[r.sel]
+    b1 |= r.b << 5
+    for lane, _ in r.absorbed:
+        b1 |= 1 << (6 + lane)
+    for lane, _ in r.exposed:
+        b1 |= 1 << (6 + WIDTH + lane)
+
+    b2 = 0
+    if r.pa >= 0:
+        b2 |= 1 << r.pa
+    if r.pb >= 0:
+        b2 |= 1 << (NUM_REGS + r.pb)
+    if r.pd >= 0:
+        b2 |= 1 << (2 * NUM_REGS + r.pd)
+    if r.dst >= 0 and r.sel == "a":
+        b2 |= 1 << (3 * NUM_REGS + r.dst)
+    base = 4 * NUM_REGS
+    if r.la is not None:
+        b2 |= 1 << base
+    if r.lb is not None and r.free_b is None:
+        b2 |= 1 << (base + 1)
+    if r.lc is not None:
+        b2 |= 1 << (base + 2)
+    if r.assert_val is not None:
+        b2 |= 1 << (base + 3 + r.dst)
+    return b1, b2
+
+
+def canonical_slots(r: VRow) -> List[Tuple[int, int]]:
+    """Nonzero (gamma-exponent, value) slots of one row."""
+    p1, p2 = _control_bits(r)
+    slots = [(SLOT_PACK1, p1), (SLOT_PACK2, p2)]
+    for lane, v in r.absorbed:
+        slots.append((SLOT_IN + lane, v % P))
+    for lane, v in r.exposed:
+        slots.append((SLOT_OUT + lane, v % P))
+    for xi, load in enumerate((r.la if r.pa < 0 else None,
+                               (r.lb if r.free_b is None else None)
+                               if r.pb < 0 else None,
+                               r.lc if r.pd < 0 else None)):
+        if load is not None:
+            slots.append((SLOT_U + 2 * xi, load[0] % P))
+            slots.append((SLOT_U + 2 * xi + 1, load[1] % P))
+    if r.assert_val is not None:
+        slots.append((SLOT_R + 2 * r.dst, r.assert_val[0] % P))
+        slots.append((SLOT_R + 2 * r.dst + 1, r.assert_val[1] % P))
+    return slots
+
+
+def derive_gammas(rows: List[VRow]) -> Tuple[int, int]:
+    """Two independent gammas = Poseidon2 tree digest of the canonical
+    slot sequence (binding point depends on the data itself; see
+    attest.py round-2 notes — tree, not sponge, for one batched device
+    pass)."""
+    import numpy as np
+
+    from .fields import gl
+    from .fields.goldilocks import to_u64_np
+    from .ops.mmcs import _build_tree
+
+    seq: List[int] = [len(rows)]
+    for r in rows:
+        for s, v in canonical_slots(r):
+            seq.append(s)
+            seq.append(v)
+    arr = np.zeros((-(-len(seq) // 4), 4), np.uint64)
+    arr.reshape(-1)[: len(seq)] = seq
+    n_leaves = 1 << (max(len(arr), 2) - 1).bit_length()
+    if n_leaves != len(arr):
+        arr = np.vstack([arr, np.zeros((n_leaves - len(arr), 4), np.uint64)])
+    root = to_u64_np(_build_tree(gl.from_u64(arr))[-1][0])
+    g1, g2 = int(root[0]), int(root[1])
+    return (g1 or 1, g2 or 1)
+
+
+def fold_accumulator(rows: List[VRow], gamma: Tuple[int, int]):
+    """Checker-side canonical accumulator finals (host ints)."""
+    finals = []
+    for g in gamma:
+        gp = [pow(g, s, P) for s in range(SLOT_SHIFT + 1)]
+        acc = 0
+        for r in rows:
+            c = 0
+            for s, v in canonical_slots(r):
+                c += v * gp[s]
+            acc = (acc * gp[SLOT_SHIFT] + c) % P
+        finals.append(acc)
+    return tuple(finals)
+
+
+# ----------------------------------------------------------- trace build
+
+def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
+                     log_n: Optional[int] = None):
+    """Device column-major GL (NUM_COLS, height) VerifierAir trace.
+
+    Hash-chain states resolve level-synchronously (one batched device
+    permutation per chain level — see attest.py round-2 notes); algebra
+    rows' lane states are zero (their Poseidon2 core witness is the
+    permutation of the zero state, satisfying the always-on core
+    constraints vacuously)."""
+    import numpy as np
+
+    from .fields import gl
+    from .fields.goldilocks import GL as _GL, to_u64_np
+    from .models.poseidon2_air import poseidon2_core_rows
+    from .ops.poseidon2 import poseidon2_permute
+
+    R = len(rows)
+    height = 1 << (max(R, 4) - 1).bit_length()
+    if log_n is not None:
+        assert height <= (1 << log_n), "schedule exceeds requested height"
+        height = 1 << log_n
+
+    reg_rows, operands, f_lanes = execute_program(rows)
+
+    # --- chain-state resolution ------------------------------------------
+    absorbed = np.zeros((R, WIDTH), np.uint64)
+    m_arr = np.zeros((height, WIDTH), np.uint64)
+    sel_arr = np.zeros((height, 5), np.uint64)   # t, c, l, f, a
+    bcol = np.zeros((height,), np.uint64)
+    chains: List[List[int]] = []
+    for i, r in enumerate(rows):
+        sel_arr[i, "tclfa".index(r.sel)] = 1
+        bcol[i] = r.b
+        for lane, v in r.absorbed:
+            absorbed[i, lane] = v % P
+            m_arr[i, lane] = 1
+        if r.sel == "f":
+            absorbed[i, :4] = f_lanes[i]       # preset lanes (NOT m-masked)
+        if r.sel in ("l", "f"):
+            chains.append([i])
+        elif r.sel in ("t", "c"):
+            assert chains, "schedule must open with a chain start"
+            chains[-1].append(i)
+        # 'a' rows join no chain; states stay zero
+
+    states_np = np.zeros((height, WIDTH), np.uint64)
+    out_np = np.zeros((R, WIDTH), np.uint64)
+    n_chains = max(len(chains), 1)
+    maxlen = max((len(c) for c in chains), default=0)
+    perm = poseidon2_permute
+    for k in range(maxlen):
+        live = [c for c in chains if len(c) > k]
+        idxs = np.asarray([c[k] for c in live])
+        if k == 0:
+            ins = absorbed[idxs].copy()
+        else:
+            pouts = out_np[np.asarray([c[k - 1] for c in live])]
+            is_c = sel_arr[idxs, 1] == 1
+            base = np.where((sel_arr[idxs, 0] == 1)[:, None], pouts, 0)
+            dig = pouts[:, :4]
+            b_here = bcol[idxs] == 1
+            left = np.where((is_c & ~b_here)[:, None], dig, base[:, 0:4])
+            right = np.where((is_c & b_here)[:, None], dig, base[:, 4:8])
+            base = np.concatenate([left, right, base[:, 8:]], axis=1)
+            ins = np.where(m_arr[idxs] == 1, absorbed[idxs], base)
+        states_np[idxs] = ins
+        batch = np.zeros((n_chains, WIDTH), np.uint64)
+        batch[: len(idxs)] = ins
+        outs = to_u64_np(perm(gl.from_u64(batch)))[: len(idxs)]
+        out_np[idxs] = outs
+
+    core_dev = poseidon2_core_rows(gl.from_u64(states_np))
+
+    # --- control / program / register columns ----------------------------
+    blk = np.zeros((height, NUM_COLS - CORE_W), np.uint64)
+
+    def col(c):
+        return c - CORE_W
+
+    blk[:, col(SEL_T):col(SEL_T) + 5] = sel_arr
+    blk[:, col(B_COL)] = bcol
+    blk[:, col(M_OFF):col(M_OFF) + WIDTH] = m_arr
+    for i, r in enumerate(rows):
+        for lane, _ in r.exposed:
+            blk[i, col(MO_OFF) + lane] = 1
+        if r.sel == "a":
+            if r.pa >= 0:
+                blk[i, col(PA_OFF) + r.pa] = 1
+            if r.pb >= 0:
+                blk[i, col(PB_OFF) + r.pb] = 1
+            if r.pd >= 0:
+                blk[i, col(PD_OFF) + r.pd] = 1
+            blk[i, col(PC_OFF) + r.dst] = 1
+            if r.la is not None and r.pa < 0:
+                blk[i, col(MLA_COL)] = 1
+            if r.lb is not None and r.pb < 0 and r.free_b is None:
+                blk[i, col(MLB_COL)] = 1
+            if r.lc is not None and r.pd < 0:
+                blk[i, col(MLC_COL)] = 1
+            if r.assert_val is not None:
+                blk[i, col(MR_OFF) + r.dst] = 1
+        ua, ub, uc = operands[i]
+        blk[i, col(UA_OFF)], blk[i, col(UA_OFF) + 1] = ua
+        blk[i, col(UB_OFF)], blk[i, col(UB_OFF) + 1] = ub
+        blk[i, col(UC_OFF)], blk[i, col(UC_OFF) + 1] = uc
+        for kreg in range(NUM_REGS):
+            blk[i, col(R_OFF) + 2 * kreg] = reg_rows[i][kreg][0]
+            blk[i, col(R_OFF) + 2 * kreg + 1] = reg_rows[i][kreg][1]
+        p1, p2 = _control_bits(r)
+        blk[i, col(PACK1_COL)] = p1
+        blk[i, col(PACK2_COL)] = p2
+    # registers copy through padding rows (pc = 0 there)
+    if R < height and R > 0:
+        for kreg in range(NUM_REGS):
+            blk[R:, col(R_OFF) + 2 * kreg] = reg_rows[-1][kreg][0]
+            blk[R:, col(R_OFF) + 2 * kreg + 1] = reg_rows[-1][kreg][1]
+
+    # accumulator columns
+    for gi, g in enumerate(gamma):
+        gp = [pow(g, s, P) for s in range(SLOT_SHIFT + 1)]
+        acc = 0
+        for i in range(height):
+            if i < R:
+                c = 0
+                for s, v in canonical_slots(rows[i]):
+                    c += v * gp[s]
+                acc = (acc * gp[SLOT_SHIFT] + c) % P
+            blk[i, col(ACC_OFF) + gi] = acc
+
+    full = gl.concatenate(
+        [core_dev, gl.from_u64(blk)], axis=-1)          # (height, NUM_COLS)
+    return _GL(full.lo.T, full.hi.T)
+
+
+def build_trace_rowmajor(rows: List[VRow], gamma,
+                         log_n: Optional[int] = None):
+    """Row-major host uint64 trace (int-oracle prover ingest)."""
+    import numpy as np
+
+    from .fields.goldilocks import to_u64_np
+
+    cols = build_trace_cols(rows, gamma, log_n)
+    return np.ascontiguousarray(
+        to_u64_np(type(cols)(cols.lo.T, cols.hi.T)))
+

@@ -181,6 +181,108 @@ poseidon2_core_rows = _jax.jit(_poseidon2_core_rows_impl)
 
 # ------------------------------------------------------------------- AIR
 
+def eval_poseidon2_core(folder: VerifierConstraintFolder, L):
+    """Emit the Poseidon2 core constraints (one permutation per row) on
+    the stacked local vector `L`; returns the (12,) input-lane segment.
+    Shared by HashChainAir and VerifierAir (models/verifier_air.py).
+
+    Vectorized over the ROUND axis: per-round unrolling put ~50k HLO ops
+    in the quotient graph and sent XLA's algebraic simplifier into
+    minutes-long loops; instead the rounds of a kind are stacked on the
+    constraint axis and each segment emits ONE vector constraint pair
+    (compile-cost discipline, see verifier.py module docstring)."""
+    ops = folder.ops
+    take = ops.take
+
+    def cvec(ints):
+        return ops.const_base(np.asarray(ints, object))
+
+    def matvec(mat, v):
+        """(12,)-vector constraint expr: mat @ v with integer mat."""
+        out = None
+        for j in range(WIDTH):
+            vj = take(v, np.full(WIDTH, j))
+            term = ops.mul(cvec(mat[:, j]), vj)
+            out = term if out is None else ops.add(out, term)
+        return out
+
+    in_v = take(L, np.arange(IN_OFF, IN_OFF + WIDTH))
+    s0 = matvec(M_EXT, in_v)                     # (12,) expr
+
+    ext_rounds = [rt for rt in ROUNDS if rt[0] == "ext"]
+    int_rounds = [rt for rt in ROUNDS if rt[0] == "int"]
+    ext_t_idx = np.asarray([[t + j for j in range(WIDTH)]
+                            for _, _, t, _ in ext_rounds])   # (8, 12)
+    ext_o_idx = np.asarray([[o + j for j in range(WIDTH)]
+                            for _, _, _, o in ext_rounds])
+    int_t_idx = np.asarray([t for _, _, t, _ in int_rounds])  # (22,)
+    int_o_idx = np.asarray([[o + j for j in range(WIDTH)]
+                            for _, _, _, o in int_rounds])
+
+    def matvec_rounds(mat, y_flat, n_rounds):
+        """Per-round matvec on a flattened (n_rounds*12,) vector."""
+        base = (np.arange(n_rounds * WIDTH) // WIDTH) * WIDTH
+        out = None
+        for j in range(WIDTH):
+            yj = take(y_flat, base + j)
+            coef = cvec([mat[i % WIDTH, j]
+                         for i in range(n_rounds * WIDTH)])
+            term = ops.mul(coef, yj)
+            out = term if out is None else ops.add(out, term)
+        return out
+
+    def cube(u):
+        return ops.mul(ops.mul(u, u), u)
+
+    # --- external segment 1 (rounds 0..3) and 2 (rounds 4..7) ------
+    for seg_r in (range(0, ROUND_F_BEGIN), range(ROUND_F_BEGIN, N_EXT)):
+        seg_r = list(seg_r)
+        k = len(seg_r)
+        t_flat = take(L, ext_t_idx[seg_r].reshape(-1))       # (k*12,)
+        out_flat = take(L, ext_o_idx[seg_r].reshape(-1))
+        # s_prev rows: round seg_r[0] chains from M_E(in) or the last
+        # internal round; later rounds from the previous ext out
+        if seg_r[0] == 0:
+            first_prev = s0
+        else:
+            first_prev = take(L, int_o_idx[-1])
+        prev_flat = ops.concat(
+            [first_prev] +
+            [take(L, ext_o_idx[r - 1].reshape(-1))
+             for r in seg_r[1:]])
+        rc_flat = cvec([RC[r][j] % P for r in seg_r
+                        for j in range(WIDTH)])
+        u = ops.add(prev_flat, rc_flat)
+        folder.assert_zero(ops.sub(t_flat, cube(u)))
+        y = ops.mul(ops.mul(t_flat, t_flat), u)
+        folder.assert_zero(
+            ops.sub(out_flat, matvec_rounds(M_EXT, y, k)))
+
+    # --- internal segment (22 rounds) --------------------------------
+    ki = N_INT
+    prev_i = ops.concat(
+        [take(L, ext_o_idx[ROUND_F_BEGIN - 1].reshape(-1))] +
+        [take(L, int_o_idx[r - 1].reshape(-1)) for r in range(1, ki)]
+    )                                                       # (22*12,)
+    lane0 = (np.arange(ki * WIDTH) % WIDTH == 0).astype(object)
+    u0 = ops.add(take(prev_i, np.arange(ki) * WIDTH),
+                 cvec([RC_MID[r] % P for r in range(ki)]))   # (22,)
+    t0 = take(L, int_t_idx)                                  # (22,)
+    folder.assert_zero(ops.sub(t0, cube(u0)))
+    y0 = ops.mul(ops.mul(t0, t0), u0)                        # (22,)
+    # y_flat: lane 0 of each round replaced by y0
+    y0_g = take(y0, np.arange(ki * WIDTH) // WIDTH)          # (22*12,)
+    mask0 = cvec(lane0)
+    one_flat = cvec(np.ones(ki * WIDTH, object))
+    y_flat = ops.add(ops.mul(mask0, y0_g),
+                     ops.mul(ops.sub(one_flat, mask0), prev_i))
+    out_i_flat = take(L, int_o_idx.reshape(-1))
+    folder.assert_zero(
+        ops.sub(out_i_flat, matvec_rounds(M_INT, y_flat, ki)))
+
+    return in_v
+
+
 class HashChainAir(Air):
     """The attestation AIR.  `publics` carries the boundary values the
     last row's accumulators must equal, plus the two gammas; they become
@@ -230,99 +332,12 @@ class HashChainAir(Air):
         def cvec(ints):
             return ops.const_base(np.asarray(ints, object))
 
-        def matvec(mat, v):
-            """(12,)-vector constraint expr: mat @ v with integer mat."""
-            out = None
-            for j in range(WIDTH):
-                vj = take(v, np.full(WIDTH, j))
-                term = ops.mul(cvec(mat[:, j]), vj)
-                out = term if out is None else ops.add(out, term)
-            return out
-
         one = ops.const_base(np.ones(1, object))
 
         def assert_bool(v):
             folder.assert_zero(ops.mul(v, ops.sub(v, one)))
 
-        # ---- Poseidon2 core, vectorized over the ROUND axis ------------
-        # Per-round unrolling put ~50k HLO ops in the quotient graph and
-        # sent XLA's algebraic simplifier into minutes-long loops; instead
-        # the rounds of a kind are stacked on the constraint axis and each
-        # segment emits ONE vector constraint pair (compile-cost
-        # discipline, see verifier.py module docstring).
-        in_v = seg(L, IN_OFF, WIDTH)
-        s0 = matvec(M_EXT, in_v)                     # (12,) expr
-
-        ext_rounds = [rt for rt in ROUNDS if rt[0] == "ext"]
-        int_rounds = [rt for rt in ROUNDS if rt[0] == "int"]
-        ext_t_idx = np.asarray([[t + j for j in range(WIDTH)]
-                                for _, _, t, _ in ext_rounds])   # (8, 12)
-        ext_o_idx = np.asarray([[o + j for j in range(WIDTH)]
-                                for _, _, _, o in ext_rounds])
-        int_t_idx = np.asarray([t for _, _, t, _ in int_rounds])  # (22,)
-        int_o_idx = np.asarray([[o + j for j in range(WIDTH)]
-                                for _, _, _, o in int_rounds])
-
-        def matvec_rounds(mat, y_flat, n_rounds):
-            """Per-round matvec on a flattened (n_rounds*12,) vector."""
-            base = (np.arange(n_rounds * WIDTH) // WIDTH) * WIDTH
-            out = None
-            for j in range(WIDTH):
-                yj = take(y_flat, base + j)
-                coef = cvec([mat[i % WIDTH, j]
-                             for i in range(n_rounds * WIDTH)])
-                term = ops.mul(coef, yj)
-                out = term if out is None else ops.add(out, term)
-            return out
-
-        def cube(u):
-            return ops.mul(ops.mul(u, u), u)
-
-        # --- external segment 1 (rounds 0..3) and 2 (rounds 4..7) ------
-        for seg_r in (range(0, ROUND_F_BEGIN), range(ROUND_F_BEGIN, N_EXT)):
-            seg_r = list(seg_r)
-            k = len(seg_r)
-            t_flat = take(L, ext_t_idx[seg_r].reshape(-1))       # (k*12,)
-            out_flat = take(L, ext_o_idx[seg_r].reshape(-1))
-            # s_prev rows: round seg_r[0] chains from M_E(in) or the last
-            # internal round; later rounds from the previous ext out
-            if seg_r[0] == 0:
-                first_prev = s0
-            else:
-                first_prev = take(L, int_o_idx[-1])
-            prev_flat = ops.concat(
-                [first_prev] +
-                [take(L, ext_o_idx[r - 1].reshape(-1))
-                 for r in seg_r[1:]])
-            rc_flat = cvec([RC[r][j] % P for r in seg_r
-                            for j in range(WIDTH)])
-            u = ops.add(prev_flat, rc_flat)
-            folder.assert_zero(ops.sub(t_flat, cube(u)))
-            y = ops.mul(ops.mul(t_flat, t_flat), u)
-            folder.assert_zero(
-                ops.sub(out_flat, matvec_rounds(M_EXT, y, k)))
-
-        # --- internal segment (22 rounds) --------------------------------
-        ki = N_INT
-        prev_i = ops.concat(
-            [take(L, ext_o_idx[ROUND_F_BEGIN - 1].reshape(-1))] +
-            [take(L, int_o_idx[r - 1].reshape(-1)) for r in range(1, ki)]
-        )                                                       # (22*12,)
-        lane0 = (np.arange(ki * WIDTH) % WIDTH == 0).astype(object)
-        u0 = ops.add(take(prev_i, np.arange(ki) * WIDTH),
-                     cvec([RC_MID[r] % P for r in range(ki)]))   # (22,)
-        t0 = take(L, int_t_idx)                                  # (22,)
-        folder.assert_zero(ops.sub(t0, cube(u0)))
-        y0 = ops.mul(ops.mul(t0, t0), u0)                        # (22,)
-        # y_flat: lane 0 of each round replaced by y0
-        y0_g = take(y0, np.arange(ki * WIDTH) // WIDTH)          # (22*12,)
-        mask0 = cvec(lane0)
-        one_flat = cvec(np.ones(ki * WIDTH, object))
-        y_flat = ops.add(ops.mul(mask0, y0_g),
-                         ops.mul(ops.sub(one_flat, mask0), prev_i))
-        out_i_flat = take(L, int_o_idx.reshape(-1))
-        folder.assert_zero(
-            ops.sub(out_i_flat, matvec_rounds(M_INT, y_flat, ki)))
+        in_v = eval_poseidon2_core(folder, L)
 
         # ---- chain machinery -------------------------------------------
         sel_t = seg(L, SEL_T, 1)
