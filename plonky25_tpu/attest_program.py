@@ -78,6 +78,7 @@ ONE2 = (1, 0)
 NEG1 = (P - 1, 0)
 NEG2 = (P - 2, 0)
 X2 = (0, 1)   # the GF(p^2) monomial X
+POW_WINDOW = 4   # exponent bits consumed per two-adic pow-chain row
 
 
 @dataclass
@@ -354,24 +355,33 @@ def build_verification_schedule(proof: Proof, config, air,
     # value the reduced openings need besides zeta itself)
     r_zeta_next = asm.fma(K(zeta), K(trace_domain.gen()), K(ZERO2))
 
-    g_pows = {}   # shape constants: g_h^(2^t)
+    pow_tables: Dict = {}   # shape constants: (h, w0, init) -> [g^(v<<w0)]
 
-    def gpow(h, t):
-        key = (h, t)
-        if key not in g_pows:
-            g_pows[key] = pow(Gl.two_adic_generator(h), 1 << t, P)
-        return g_pows[key]
+    def pow_table(h, w0, init):
+        key = (h, w0, init)
+        if key not in pow_tables:
+            g = Gl.two_adic_generator(h)
+            pow_tables[key] = [
+                init * pow(g, v << w0, P) % P
+                for v in range(1 << POW_WINDOW)
+            ]
+        return pow_tables[key]
 
     def emit_pow_chain(h, bits_msb_first, init=1):
-        """r = init * g_h^(rev-indexed product): one row per bit; the
-        per-bit multiplier is a canonical SELECT (bit ? g^(2^t) : 1) —
-        bit selection, not field math, checker-side."""
-        r = asm.fma(K(init), K(ONE2), K(ZERO2))
-        # rev_bits_len(i, h): bit t of rev = bit (h-1-t) of i; the chain
-        # multiplies g^(2^t) when rev bit t is set
-        for t, bit in enumerate(bits_msb_first):
-            c = gpow(h, t) if bit else 1
-            r = asm.fma(r, K(c), K(ZERO2), dst=r)
+        """r = init * g_h^(rev-indexed exponent): windowed — each row
+        multiplies by a table constant SELECTED by POW_WINDOW exponent
+        bits (table entries are shape constants; the checker only does
+        bit selection).  rev_bits_len(i, h): bit t of rev = bit (h-1-t)
+        of i, so window w0 covers exponent bits w0..w0+3."""
+        r = None
+        for w0 in range(0, max(len(bits_msb_first), 1), POW_WINDOW):
+            wbits = bits_msb_first[w0:w0 + POW_WINDOW]
+            v = sum(b << t for t, b in enumerate(wbits))
+            c = pow_table(h, w0, init if w0 == 0 else 1)[v]
+            if r is None:
+                r = asm.fma(K(c), K(ONE2), K(ZERO2))
+            else:
+                r = asm.fma(r, K(c), K(ZERO2), dst=r)
         return r
 
     for q in range(Q):
@@ -399,8 +409,6 @@ def build_verification_schedule(proof: Proof, config, air,
                 hbits = [((index >> shift) >> (h - 1 - t)) & 1
                          for t in range(h)]
                 r_xh = emit_pow_chain(h, hbits, init=7)
-                r_ro = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
-                r_pow = asm.fma(K(ONE2), K(ONE2), K(ZERO2))
                 invs = {}
                 for z_kind in ("zeta", "zeta_next"):
                     if not any(t[0] == z_kind for t in buckets[h]):
@@ -412,14 +420,20 @@ def build_verification_schedule(proof: Proof, config, air,
                     invs[z_kind] = asm.inv(r_den)
                     asm.free(r_den)
                 asm.free(r_xh)
-                for z_kind, batch, mrow, col, p_at_z in buckets[h]:
+                # ro = sum_j alpha_fri^j * num_j * inv_{z_j}, evaluated as
+                # reverse Horner (identical field value, fewer rows)
+                r_ro = None
+                for z_kind, batch, mrow, col, p_at_z in reversed(
+                        buckets[h]):
                     p_at_x = batches[batch].opened_values[mrow][col]
-                    r_num = asm.fma(K(p_at_z), K(NEG1), K((p_at_x % P, 0)))
-                    r_t = asm.mul(r_num, r_pow)
-                    asm.fma(r_t, invs[z_kind], r_ro, dst=r_ro)
-                    asm.free(r_num, r_t)
-                    asm.fma(r_pow, K(alpha_fri), K(ZERO2), dst=r_pow)
-                asm.free(r_pow, *invs.values())
+                    r_t = asm.fma(K(p_at_z), K(NEG1), K((p_at_x % P, 0)))
+                    asm.fma(r_t, invs[z_kind], K(ZERO2), dst=r_t)
+                    if r_ro is None:
+                        r_ro = r_t
+                    else:
+                        asm.fma(r_ro, K(alpha_fri), r_t, dst=r_ro)
+                        asm.free(r_t)
+                asm.free(*invs.values())
                 asm.add(r_ro, r_fold, dst=r_fold)
                 asm.free(r_ro)
 
@@ -428,18 +442,21 @@ def build_verification_schedule(proof: Proof, config, air,
             sib = tuple(v % P for v in step.sibling_value)
             is_odd = (idx_l ^ 1) & 1
             beta = betas[lvl]
+            # xs0 = s*x with s = 2*is_odd - 1; s is folded into constant
+            # SELECTS below (b ? c1 : c0 — bit selection, checker-side)
             e0, e1 = asm.alloc_e()
-            r_t = asm.fma(K(sib), K(NEG1), r_fold)        # folded - sib
-            asm.fma(K((is_odd, 0)), r_t, K(sib), dst=e0)
-            asm.fma(K((1 - is_odd, 0)), r_t, K(sib), dst=e1)
-            asm.free(r_t)
-            r_xs0 = asm.fma(r_x, K(((2 * is_odd - 1) % P, 0)), K(ZERO2))
+            # e0 = is_odd ? folded : sib ; e1 = is_odd ? sib : folded
+            asm.fma(r_fold, K((is_odd, 0)),
+                    K(ZERO2 if is_odd else sib), dst=e0)
+            asm.fma(r_fold, K((1 - is_odd, 0)),
+                    K(sib if is_odd else ZERO2), dst=e1)
             r_d = asm.sub(e1, e0)
-            r_bx = asm.fma(r_xs0, K(NEG1), K(beta))       # beta - xs0
+            r_bx = asm.fma(r_x, K(NEG1 if is_odd else ONE2),
+                           K(beta))                       # beta - xs0
             r_num = asm.mul(r_d, r_bx)
             asm.free(r_d, r_bx)
-            r_den = asm.fma(r_xs0, K(NEG2), K(ZERO2))     # xs1-xs0 = -2*xs0
-            asm.free(r_xs0)
+            r_den = asm.fma(r_x, K(NEG2 if is_odd else (2, 0)),
+                            K(ZERO2))                     # xs1-xs0 = -2s*x
             r_w = asm.inv(r_den)
             asm.free(r_den)
             asm.fma(r_num, r_w, e0, dst=r_fold)           # e0 + num*w
