@@ -39,9 +39,13 @@ class BatchVerifier:
         self.base = get_verifier(air, config)
         v = self.base
         self._t = jax.jit(jax.vmap(v._transcript_fn))
-        self._b = jax.jit(jax.vmap(v._batch_fn))
+        # the hash-heavy stages flatten (B, Q) into one lane axis instead
+        # of vmapping, so the fused Pallas Poseidon2 kernel serves the
+        # whole batch as one wide grid (vmap over pallas_call would
+        # serialize it; verifier._batched_*_fn)
+        self._b = jax.jit(v._batched_batch_fn)
         self._r = jax.jit(jax.vmap(v._ro_fn))
-        self._f = jax.jit(jax.vmap(v._fold_fn))
+        self._f = jax.jit(v._batched_fold_fn)
         self._fin = jax.jit(jax.vmap(v._final_fn))
 
     def verify_witnesses(self, ws: Dict):

@@ -241,6 +241,83 @@ class TpuVerifier:
         return verify_batch_single(commit, leaf, index, sibs,
                                    permute=self._permute)
 
+    # ------------------------------------------- natively batched stages
+    # The BatchVerifier used to vmap _batch_fn/_fold_fn over the proof
+    # axis; under vmap a pallas_call lowers to a serial grid loop, so the
+    # flagship fused Poseidon2 kernel could never serve batch
+    # verification (380k -> 124k q/s, VERDICT r2 weak #4).  These wrappers
+    # FLATTEN (B, Q) into one lane axis instead — the hash stages are
+    # elementwise in the query lane — so one wide pallas grid covers the
+    # whole batch.
+
+    def _permute_wide(self, flat_n: int):
+        """Trace-time kernel choice for a flattened lane count."""
+        from .ops.poseidon2 import PALLAS_DISABLED
+
+        if (not PALLAS_DISABLED and flat_n >= 4096
+                and jax.default_backend() == "tpu"):
+            from .ops.pallas import poseidon2_permute_pallas
+
+            return poseidon2_permute_pallas
+        return self._permute
+
+    def _batched_batch_fn(self, index, vals: GL, sibs: GL, commit: GL):
+        """_batch_fn over a leading proof axis: index (B, Q), vals
+        (B, Q, M, C), sibs (B, Q, D, 4), commit (B, 4) -> ok (B, Q)."""
+        B, Q = index.shape
+
+        def flat(x):
+            return jax.tree.map(
+                lambda a: a.reshape((B * Q,) + a.shape[2:]), x)
+
+        leaf = flat(vals).reshape(B * Q, -1)
+        com = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a[:, None, :], (B, Q, 4)).reshape(B * Q, 4), commit)
+        ok = verify_batch_single(com, leaf, index.reshape(B * Q),
+                                 flat(sibs),
+                                 permute=self._permute_wide(B * Q))
+        return ok.reshape(B, Q)
+
+    def _batched_fold_fn(self, index, phase_commits: GL, betas_stack: GL2,
+                         sib_vals: GL2, ro_stack: GL2, fold_sibs: GL,
+                         final_poly: GL2):
+        """_fold_fn over a leading proof axis: index (B, Q),
+        phase_commits (B, L, 4), betas_stack (B, L), sib_vals/ro_stack
+        (B, L, Q), fold_sibs (B, L, Q, D, 4), final_poly (B,) ->
+        verdicts (B,)."""
+        B, Q = index.shape
+
+        def lvl_flat(x, trail):
+            # (B, L, Q, ...) -> (L, B*Q, ...)
+            return jax.tree.map(
+                lambda a: jnp.moveaxis(a, 0, 1).reshape(
+                    (-1, B * Q) + a.shape[3:][:trail]), x)
+
+        def lvl_bcast(x, trail):
+            # (B, L, ...) -> (L, B*Q, ...): broadcast over the query lane
+            def f(a):
+                a = jnp.moveaxis(a, 0, 1)[:, :, None]
+                a = jnp.broadcast_to(
+                    a, (a.shape[0], B, Q) + a.shape[3:])
+                return a.reshape((-1, B * Q) + a.shape[3:][:trail])
+            return jax.tree.map(f, x)
+
+        fp = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[:, None], (B, Q)).reshape(B * Q),
+            final_poly)
+        per_q = self._fold_core(
+            index.reshape(B * Q),
+            lvl_bcast(phase_commits, 1),
+            lvl_bcast(betas_stack, 0),
+            lvl_flat(sib_vals, 0),
+            lvl_flat(ro_stack, 0),
+            lvl_flat(fold_sibs, 2),
+            fp,
+            self._permute_wide(B * Q),
+        )
+        return jnp.all(per_q.reshape(B, Q), axis=1)
+
     def _ro_fn(self, index, zeta: GL2, zeta_next: GL2, alpha_fri: GL2,
                batch_values, trace_local: GL2, trace_next: GL2,
                quotient_chunks: GL2, stage2_local: GL2 = None,
@@ -352,6 +429,17 @@ class TpuVerifier:
     def _fold_fn(self, index, phase_commits: GL, betas_stack: GL2,
                  sib_vals: GL2, ro_stack: GL2, fold_sibs: GL,
                  final_poly: GL2, record: bool = False):
+        out = self._fold_core(index, phase_commits, betas_stack, sib_vals,
+                              ro_stack, fold_sibs, final_poly,
+                              self._permute, record)
+        if record:
+            per_q, e0s, e1s = out
+            return jnp.all(per_q), e0s, e1s
+        return jnp.all(out)
+
+    def _fold_core(self, index, phase_commits: GL, betas_stack: GL2,
+                   sib_vals: GL2, ro_stack: GL2, fold_sibs: GL,
+                   final_poly: GL2, permute, record: bool = False):
         """FRI fold (verifier.rs:419-519).
 
         Levels are scanned in GROUPS of two, each group's Merkle paths
@@ -394,9 +482,9 @@ class TpuVerifier:
 
             # leaf row = [e0.c0, e0.c1, e1.c0, e1.c1] (verifier.rs:471-481)
             leaf = gl.stack([e0.c0, e0.c1, e1.c0, e1.c1], axis=-1)
-            digest = hash_rows(leaf, self._permute)
+            digest = hash_rows(leaf, permute)
             root, _ = merkle_path(digest, idx_pair, sibs, v,
-                                  permute=self._permute)
+                                  permute=permute)
             ok &= jnp.all(gl.eq(root, gl.broadcast_to(commit, root.shape)),
                           axis=-1)
 
@@ -432,12 +520,12 @@ class TpuVerifier:
 
         folded_eval, _, _, _, ok = carry
         fp = gl2.broadcast_to(final_poly, (Q,))
-        verdict = jnp.all(gl2.eq(folded_eval, fp) & ok)
+        per_q = gl2.eq(folded_eval, fp) & ok           # (Q,) bool
         if record:
             e0s = gl2.concat([g[0] for g in leaves])   # (L, Q) ext
             e1s = gl2.concat([g[1] for g in leaves])
-            return verdict, e0s, e1s
-        return verdict
+            return per_q, e0s, e1s
+        return per_q
 
     def _final_fn(self, alpha: GL2, zeta: GL2, trace_local: GL2,
                   trace_next: GL2, quotient_chunks: GL2, publics=None,

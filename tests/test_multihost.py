@@ -51,3 +51,25 @@ def test_multihost_matches_single_device_batch(golden_proof, mesh):
     ok_sd = BatchVerifier(FibonacciAir(), config).verify(proofs)
     assert np.asarray(ok_mh).tolist() == np.asarray(ok_sd).tolist() == [True, True]
     assert bool(np.asarray(all_mh))
+
+
+def test_batch_verifier_flattened_stage_verdict_mapping(golden_proof):
+    """The natively batched hash stages flatten (B, Q) into one lane axis
+    (verifier._batched_batch_fn/_batched_fold_fn, so the fused Pallas
+    kernel can serve the whole batch); per-proof verdicts must map back
+    correctly, including fold-stage-only tampers."""
+    from plonky25_tpu.parallel import BatchVerifier
+
+    P = (1 << 64) - (1 << 32) + 1
+    bad_merkle = copy.deepcopy(golden_proof)
+    bad_merkle.opening_proof.query_openings[3][0].opening_proof[1][2] ^= 3
+    bad_fold = copy.deepcopy(golden_proof)
+    qp = bad_fold.opening_proof.fri_proof.query_proofs[5]
+    s = list(qp.commit_phase_openings[2].sibling_value)
+    s[0] = (s[0] + 1) % P
+    qp.commit_phase_openings[2].sibling_value = tuple(s)
+
+    bv = BatchVerifier(FibonacciAir(), derive_config(golden_proof, FC))
+    oks = np.asarray(bv.verify(
+        [golden_proof, bad_merkle, golden_proof, bad_fold]))
+    assert oks.tolist() == [True, False, True, False]
