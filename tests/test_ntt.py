@@ -175,3 +175,20 @@ def test_prover_lde_four_step_sharded():
         return a == b
 
     assert deep_eq(plain, sharded)
+
+
+def test_six_step_matches_flat_large():
+    """ntt routes N >= 2^SIX_STEP_MIN_LOG through the six-step layout
+    (butterflies on the second-minor axis, one transpose); bit-identical
+    to the flat last-axis form, forward and inverse."""
+    from plonky25_tpu.fields.goldilocks import to_u64_np
+
+    rng = random.Random(23)
+    n = 1 << nttmod.SIX_STEP_MIN_LOG
+    x = gl.from_u64(np.asarray(
+        [[rng.randrange(P) for _ in range(n)] for _ in range(2)], object))
+    a = to_u64_np(nttmod.ntt(x))
+    b = to_u64_np(nttmod._ntt_flat(x))
+    assert np.array_equal(a, b)
+    rt = to_u64_np(nttmod.ntt(nttmod.ntt(x), inverse=True))
+    assert np.array_equal(rt, to_u64_np(x))
