@@ -173,6 +173,59 @@ def _att_config_acceptable(bundle_fc: FriConfig,
             and bundle_fc.proof_of_work_bits == want.proof_of_work_bits)
 
 
+def _record_verifications_device(proofs: List[Proof], air,
+                                 fri_config: FriConfig) -> List[List[int]]:
+    """Batched sample-recording verification: same-shape proofs share ONE
+    vmapped device dispatch (BatchVerifier.verify_witnesses with_samples)
+    instead of a per-proof stage round-trip — batch attestation's former
+    bottleneck.  Raises CannotAttest naming the first failing proof."""
+    import jax
+    import numpy as np
+
+    from .fields.goldilocks import to_u64_np
+    from .parallel.batch import BatchVerifier, stack_witnesses
+    from .verifier import get_verifier
+    from .witness import pack_witness
+
+    groups: Dict[tuple, List[int]] = {}
+    cfgs = []
+    for i, p in enumerate(proofs):
+        cfg = derive_config(p, fri_config)
+        cfgs.append(cfg)
+        key = (cfg.log_quotient_degree, cfg.log_trace_height,
+               cfg.trace_width, cfg.opening_matrix_log_max_height,
+               cfg.quotient_opened_values_len, cfg.degree_bits,
+               cfg.stage2_width)
+        groups.setdefault(key, []).append(i)
+
+    out: List[Optional[List[int]]] = [None] * len(proofs)
+    for idxs in groups.values():
+        cfg = cfgs[idxs[0]]
+        v = get_verifier(air, cfg)
+        for i in idxs:
+            if not v.check_shape(proofs[i]):
+                raise CannotAttest(f"proof {i}: malformed shape")
+        if len(idxs) == 1:
+            i = idxs[0]
+            ok, samples = _device_instrumented_verify(proofs[i], air,
+                                                      fri_config)
+            if not ok:
+                raise CannotAttest(f"proof {i}: verification failed")
+            out[i] = samples
+            continue
+        bv = BatchVerifier(air, cfg)
+        ws = stack_witnesses([pack_witness(proofs[i], cfg) for i in idxs])
+        ok_d, samples_d = bv.verify_witnesses(ws, with_samples=True)
+        host = jax.device_get({"ok": ok_d, "s": samples_d})
+        oks = np.asarray(host["ok"])
+        for k, i in enumerate(idxs):
+            if not bool(oks[k]):
+                raise CannotAttest(f"proof {i}: verification failed")
+            row = jax.tree.map(lambda a: a[k], host["s"])
+            out[i] = [int(x) for x in to_u64_np(row)]
+    return out
+
+
 def _record_verification(proof: Proof, air, fri_config: FriConfig,
                          use_device: bool) -> List[int]:
     """Verify + record samples; raises CannotAttest on rejection."""
@@ -314,10 +367,12 @@ def attest_many(proofs: List[Proof], air, fri_config: FriConfig,
     running accumulator); amortized, this is where attestation pays: B
     verifications collapse into one proof whose own verification cost
     does not grow with B's hashing work."""
-    samples_list = [
-        _record_verification(p, air, fri_config, use_device_prover)
-        for p in proofs
-    ]
+    if use_device_prover:
+        samples_list = _record_verifications_device(proofs, air, fri_config)
+    else:
+        samples_list = [
+            _record_verification(p, air, fri_config, False) for p in proofs
+        ]
     rows: List[ap.VRow] = []
     for proof, samples in zip(proofs, samples_list):
         config = derive_config(proof, fri_config)

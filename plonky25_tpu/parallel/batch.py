@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..air import Air
 from ..proof import FriConfig, P3Config, Proof, derive_config
-from ..verifier import get_verifier
+from ..verifier import _publics_device, get_verifier
 from ..witness import pack_witness
 
 
@@ -46,10 +46,16 @@ class BatchVerifier:
         self._b = jax.jit(v._batched_batch_fn)
         self._r = jax.jit(jax.vmap(v._ro_fn))
         self._f = jax.jit(v._batched_fold_fn)
-        self._fin = jax.jit(jax.vmap(v._final_fn))
+        # publics broadcast across the proof axis (all proofs share the air)
+        self._fin = jax.jit(jax.vmap(
+            v._final_fn, in_axes=(0, 0, 0, 0, 0, None)))
 
-    def verify_witnesses(self, ws: Dict):
-        """ws: stacked witness (leading proof axis B).  Returns ok (B,) bool."""
+    def verify_witnesses(self, ws: Dict, with_samples: bool = False):
+        """ws: stacked witness (leading proof axis B).  Returns ok (B,) bool;
+        with `with_samples`, (ok, samples) where samples is the (B, n) GL
+        array of every Fiat-Shamir sample in order (the attestation
+        recorder's input — attest_many batches its instrumented
+        verifications through here)."""
         t = self._t(ws["obs"])
         index = t["index"]
 
@@ -71,9 +77,12 @@ class BatchVerifier:
         )
         quotient_ok = self._fin(
             t["alpha"], t["zeta"], ws["trace_local"], ws["trace_next"],
-            ws["quotient_chunks"],
+            ws["quotient_chunks"], _publics_device(self.base.air),
         )
-        return t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
+        ok = t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
+        if with_samples:
+            return ok, t["samples"]
+        return ok
 
     def verify(self, proofs: List[Proof]):
         ws = stack_witnesses([pack_witness(p, self.base.config) for p in proofs])

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..air import Air
 from ..proof import FriConfig, P3Config, Proof, derive_config
+from ..verifier import _publics_device
 from ..witness import pack_witness
 from .batch import BatchVerifier, stack_witnesses
 from .sharded import _pad_axis, _pad_tree
@@ -166,7 +167,7 @@ class MultiHostBatchVerifier:
         )
         quotient_ok = bv._fin(
             t["alpha"], t["zeta"], ws["trace_local"], ws["trace_next"],
-            ws["quotient_chunks"],
+            ws["quotient_chunks"], _publics_device(v.air),
         )
         return t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
 

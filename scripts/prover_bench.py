@@ -31,6 +31,15 @@ from plonky25_tpu.verifier import verify_proof
 FC = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
 
 
+def _peak_hbm():
+    """Peak device-memory bytes if the backend exposes memory_stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use")
+    except Exception:
+        return None
+
+
 def main():
     log_ns = [int(a) for a in sys.argv[1:]] or [10, 12]
     air = FibonacciAir()
@@ -45,11 +54,13 @@ def main():
         for _ in range(reps):
             proof = prove_on_device(air, trace, FC)
         steady = (time.time() - t0) / reps
+        peak = _peak_hbm()
 
         ok = bool(np.asarray(verify_proof(proof, air, FC).ok))
         cells = (1 << log_n) * air.width()
+        mem = f", peak HBM {peak / 2**30:.2f} GiB" if peak else ""
         print(f"fib 2^{log_n}: first {first:.1f}s, steady {steady:.2f}s, "
-              f"{cells / steady:,.0f} trace cells/s, verifies={ok}")
+              f"{cells / steady:,.0f} trace cells/s, verifies={ok}{mem}")
 
 
 if __name__ == "__main__":

@@ -366,6 +366,25 @@ def test_device_instrumented_verify_matches_oracle(small_proof):
     assert samples == ch.samples
 
 
+def test_batched_instrumented_verify_matches_single(small_proof):
+    """attest_many's batched sample recorder (ONE vmapped dispatch per
+    shape group) agrees with the single-proof path, and a failing proof
+    in the batch raises CannotAttest naming it."""
+    import copy
+
+    batched = A._record_verifications_device(
+        [small_proof, small_proof], FibonacciAir(), FC)
+    _, single = A._device_instrumented_verify(
+        small_proof, FibonacciAir(), FC)
+    assert batched[0] == batched[1] == single
+
+    bad = copy.deepcopy(small_proof)
+    bad.opening_proof.fri_proof.pow_witness += 1
+    with pytest.raises(A.CannotAttest, match="proof 1"):
+        A._record_verifications_device(
+            [small_proof, bad], FibonacciAir(), FC)
+
+
 def test_forged_schedule_breaks_accumulator(schedule_parts, small_proof):
     """A bundle whose samples were altered (consistently with its own
     gamma/acc) is rejected because gamma derivation is itself bound to
