@@ -290,13 +290,14 @@ def _structural_ok(proof: Proof, air, fri_config: FriConfig,
         return False
     if len(proof.opened_values.trace_local) != air.width():
         return False
-    if air.stage2_width() != 0:
+    if config.stage2_width != air.stage2_width():
         return False
-    if len(samples) != ap.expected_sample_count(config):
+    n_ch = air.num_challenges()
+    if len(samples) != ap.expected_sample_count(config, n_ch):
         return False
     if not all(isinstance(s, int) and 0 <= s < P for s in samples):
         return False
-    pow_sample = samples[ap.n_presamples(config) - 1]
+    pow_sample = samples[ap.n_presamples(config, n_ch) - 1]
     if pow_sample & ((1 << fri_config.proof_of_work_bits) - 1) != 0:
         return False
     return True

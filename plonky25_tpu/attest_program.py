@@ -10,7 +10,7 @@ canonical row schedule of a VerifierAir trace (models/verifier_air.py):
     (verifier.rs:296-344), FRI fold interpolation (:419-519), quotient
     reconstruction / Lagrange selectors / AIR folding (:169-239);
   * fold-leaf rows ('f') — hash chain starts whose lanes are constrained
-    equal to the in-trace-derived FRI fold evals (registers R8/R9).
+    equal to the in-trace-derived FRI fold evals (registers R10/R11, E0_REG/E1_REG).
 
 The SCHEDULE (control bits + canonically-loaded operand values) is a pure
 function of (proof bytes, Fiat-Shamir samples, shape constants) — the
@@ -104,13 +104,16 @@ class VRow:
 # ------------------------------------------------------------- assembler
 
 class _Handle:
-    """Operand handle: a live register or a canonical constant."""
+    """Operand handle: a live register or a canonical constant.
+    `node` tags values created inside an AIR fold for exact-liveness
+    freeing (_AsmOps); None for caller-managed registers."""
 
-    __slots__ = ("kind", "val")
+    __slots__ = ("kind", "val", "node")
 
     def __init__(self, kind, val):
         self.kind = kind    # "reg" | "const"
         self.val = val
+        self.node = None
 
     def __repr__(self):
         return f"_{self.kind}:{self.val}"
@@ -229,6 +232,8 @@ def _obs_values(proof: Proof) -> List[int]:
     fp = proof.opening_proof.fri_proof
     obs: List[int] = []
     obs += proof.commitments.trace.value
+    if proof.commitments.stage2 is not None:
+        obs += proof.commitments.stage2.value
     obs += proof.commitments.quotient_chunks.value
     for c in fp.commit_phase_commits:
         obs += c.value
@@ -236,14 +241,21 @@ def _obs_values(proof: Proof) -> List[int]:
     return obs
 
 
-def _transcript_rows(proof: Proof, config, samples: List[int]) -> List[VRow]:
-    """Transcript duplex rows from the symbolic schedule (single-stage
-    target proofs; verifier.rs:135-140, 363-376)."""
+def _transcript_rows(proof: Proof, config, samples: List[int],
+                     n_challenges: int = 0) -> List[VRow]:
+    """Transcript duplex rows from the symbolic schedule
+    (verifier.rs:135-140, 363-376; multi-stage: challenges are sampled
+    from the main-trace commitment, then the stage-2 commitment is
+    observed before alpha — refimpl/verifier.py transcript head)."""
     from .challenger import SymbolicChallenger
 
     fc = config.fri_config
     sym = SymbolicChallenger()
     sym.observe(4)
+    for _ in range(n_challenges):
+        sym.sample_ext()              # stage-2 challenge
+    if config.stage2_width:
+        sym.observe(4)
     sym.sample_ext()                  # alpha
     sym.observe(4)
     sym.sample_ext()                  # zeta
@@ -274,14 +286,15 @@ def _transcript_rows(proof: Proof, config, samples: List[int]) -> List[VRow]:
 
 # -------------------------------------------------------- the verification
 
-def n_presamples(config) -> int:
-    """Samples before the query indices: alpha, zeta, alpha_fri (2 each),
-    betas (2 per phase), pow (1)."""
-    return 6 + 2 * config.log_trace_height + 1
+def n_presamples(config, n_challenges: int = 0) -> int:
+    """Samples before the query indices: stage-2 challenges, alpha, zeta,
+    alpha_fri (2 each), betas (2 per phase), pow (1)."""
+    return 2 * n_challenges + 6 + 2 * config.log_trace_height + 1
 
 
-def expected_sample_count(config) -> int:
-    return n_presamples(config) + config.fri_config.num_queries
+def expected_sample_count(config, n_challenges: int = 0) -> int:
+    return (n_presamples(config, n_challenges)
+            + config.fri_config.num_queries)
 
 
 def build_verification_schedule(proof: Proof, config, air,
@@ -298,9 +311,10 @@ def build_verification_schedule(proof: Proof, config, air,
     Q = fc.num_queries
     w = config.trace_width
     nchunks = 1 << config.log_quotient_degree
-    assert air.stage2_width() == 0, \
-        "attestation of multi-stage target proofs is not supported yet"
-    assert len(samples) == expected_sample_count(config)
+    s2w = air.stage2_width()
+    n_ch = air.num_challenges()
+    assert config.stage2_width == s2w
+    assert len(samples) == expected_sample_count(config, n_ch)
 
     degree = 1 << config.degree_bits
     trace_domain = TwoAdicMultiplicativeCoset.natural_domain_for_degree(
@@ -316,12 +330,15 @@ def build_verification_schedule(proof: Proof, config, air,
                      "log_height": log2_strict(dom.size()) + fc.log_blowup})
 
     ov = proof.opened_values
-    zeta = (samples[2] % P, samples[3] % P)
-    alpha = (samples[0] % P, samples[1] % P)
-    alpha_fri = (samples[4] % P, samples[5] % P)
-    betas = [(samples[6 + 2 * l] % P, samples[7 + 2 * l] % P)
+    ch0 = 2 * n_ch                    # sample offset past the challenges
+    challenges = [(samples[2 * c] % P, samples[2 * c + 1] % P)
+                  for c in range(n_ch)]
+    alpha = (samples[ch0] % P, samples[ch0 + 1] % P)
+    zeta = (samples[ch0 + 2] % P, samples[ch0 + 3] % P)
+    alpha_fri = (samples[ch0 + 4] % P, samples[ch0 + 5] % P)
+    betas = [(samples[ch0 + 6 + 2 * l] % P, samples[ch0 + 7 + 2 * l] % P)
              for l in range(L)]
-    n_pre = n_presamples(config)
+    n_pre = n_presamples(config, n_ch)
 
     # per-height term buckets, in the reference's exact order
     # (batch, matrix, point, column — verifier.rs:296-344); each term is
@@ -331,14 +348,23 @@ def build_verification_schedule(proof: Proof, config, air,
     def add_term(h, z_kind, batch, mrow, col, p_at_z):
         buckets.setdefault(h, []).append((z_kind, batch, mrow, col, p_at_z))
 
+    # batch order: trace, (stage2), quotient — refimpl/verifier.py
+    # commits_and_points; terms per batch: per point, per column
+    qb = 2 if s2w else 1              # quotient batch index
     for col in range(w):
         add_term(h_tr, "zeta", 0, 0, col, ov.trace_local[col])
     for col in range(w):
         add_term(h_tr, "zeta_next", 0, 0, col, ov.trace_next[col])
+    if s2w:
+        for col in range(s2w):
+            add_term(h_tr, "zeta", 1, 0, col, tuple(ov.stage2_local[col]))
+        for col in range(s2w):
+            add_term(h_tr, "zeta_next", 1, 0, col,
+                     tuple(ov.stage2_next[col]))
     for c in range(nchunks):
         h = mats[1 + c]["log_height"]
         for e in range(EXT_DEGREE):
-            add_term(h, "zeta", 1, c, e, tuple(ov.quotient_chunks[c][e]))
+            add_term(h, "zeta", qb, c, e, tuple(ov.quotient_chunks[c][e]))
 
     # fold level l consumes the bucket at height log_max - l
     bucket_of_level = {}
@@ -348,7 +374,7 @@ def build_verification_schedule(proof: Proof, config, air,
         assert lvl not in bucket_of_level
         bucket_of_level[lvl] = h
 
-    rows: List[VRow] = _transcript_rows(proof, config, samples)
+    rows: List[VRow] = _transcript_rows(proof, config, samples, n_ch)
     asm = _Asm(rows)
 
     # zeta_next = zeta * g_trace — in-trace, once (the only sample-derived
@@ -387,8 +413,11 @@ def build_verification_schedule(proof: Proof, config, air,
     for q in range(Q):
         index = samples[n_pre + q] % P & ((1 << log_max) - 1)
         batches = proof.opening_proof.query_openings[q]
-        commits = [proof.commitments.trace.value,
-                   proof.commitments.quotient_chunks.value]
+        commits = [proof.commitments.trace.value]
+        if s2w:
+            commits.append(proof.commitments.stage2.value)
+        commits.append(proof.commitments.quotient_chunks.value)
+        assert len(batches) == len(commits)
         # ---- batch leaf + path hash rows (as round-2) ------------------
         for b_i, batch in enumerate(batches):
             flat = [v for mrow in batch.opened_values for v in mrow]
@@ -463,7 +492,7 @@ def build_verification_schedule(proof: Proof, config, air,
             asm.free(r_num, r_w)
             asm.mul(r_x, r_x, dst=r_x)                    # x^2
 
-            # -- fold leaf hash ('f' reads prev-row R8/R9) + path ---------
+            # -- fold leaf hash ('f' reads prev-row E0_REG/E1_REG) + path ---------
             rows.append(VRow(sel="f"))
             asm.free(e0, e1)
             rows += _path_rows(idx_l >> 1, step.opening_proof,
@@ -475,8 +504,37 @@ def build_verification_schedule(proof: Proof, config, air,
         asm.assert_eq_const(r_fold, tuple(v % P for v in fp.final_poly))
         asm.free(r_fold, r_x)
 
-    # ---- per-proof finale: quotient reconstruction + selectors + AIR
-    # folding (verifier.rs:169-239)
+    # ---- per-proof finale: selectors + AIR folding + quotient
+    # reconstruction (verifier.rs:169-239).  Selectors and the fold
+    # accumulator stay held across air.eval, so the quotient product is
+    # emitted AFTER folding to maximize the eval register pool.
+
+    # Lagrange selectors at zeta (two_adic.rs:92-122)
+    shift_inv = Gl.inv(trace_domain.shift)
+    r_un = asm.fma(K(zeta), K(shift_inv), K(ZERO2))
+    r_zh = asm.fma(r_un, K(ONE2), K(ZERO2))
+    for _ in range(trace_domain.log_n):
+        asm.mul(r_zh, r_zh, dst=r_zh)
+    asm.fma(r_zh, K(ONE2), K(NEG1), dst=r_zh)
+    r_dfirst = asm.fma(r_un, K(ONE2), K(NEG1))
+    gen_inv = Gl.inv(trace_domain.gen())
+    r_dlast = asm.fma(r_un, K(ONE2), K((P - gen_inv, 0)))
+    asm.free(r_un)
+    r_wf = asm.inv(r_dfirst)
+    r_wl = asm.inv(r_dlast)
+    asm.free(r_dfirst)
+    r_first = asm.mul(r_zh, r_wf)
+    r_last = asm.mul(r_zh, r_wl)
+    asm.free(r_wf, r_wl)
+    r_invz = asm.inv(r_zh)
+    asm.free(r_zh)
+
+    # AIR constraint folding with exact-liveness register management
+    r_folded = _fold_air(asm, air, alpha, ov, r_first, r_last, r_dlast,
+                         challenges)
+    asm.free(r_first, r_last, r_dlast)
+
+    # quotient reconstruction from chunks (verifier.rs:169-219)
     zps_host = []
     for i, dom in enumerate(quotient_chunks_domains):
         acc = 1
@@ -510,32 +568,6 @@ def build_verification_schedule(proof: Proof, config, air,
         asm.free(r_zpsi, r_m, r_term)
     asm.free(*r_zp)
 
-    # Lagrange selectors at zeta (two_adic.rs:92-122)
-    shift_inv = Gl.inv(trace_domain.shift)
-    r_un = asm.fma(K(zeta), K(shift_inv), K(ZERO2))
-    r_zh = asm.fma(r_un, K(ONE2), K(ZERO2))
-    for _ in range(trace_domain.log_n):
-        asm.mul(r_zh, r_zh, dst=r_zh)
-    asm.fma(r_zh, K(ONE2), K(NEG1), dst=r_zh)
-    r_dfirst = asm.fma(r_un, K(ONE2), K(NEG1))
-    gen_inv = Gl.inv(trace_domain.gen())
-    r_dlast = asm.fma(r_un, K(ONE2), K((P - gen_inv, 0)))
-    asm.free(r_un)
-    r_wf = asm.inv(r_dfirst)
-    r_wl = asm.inv(r_dlast)
-    asm.free(r_dfirst)
-    r_first = asm.mul(r_zh, r_wf)
-    r_last = asm.mul(r_zh, r_wl)
-    asm.free(r_wf, r_wl)
-    r_invz = asm.inv(r_zh)
-    asm.free(r_zh)
-
-    # AIR constraint folding with an incremental-fold asm folder
-    folder = _AsmFolder(asm, air, alpha, ov, r_first, r_last, r_dlast)
-    air.eval(folder)
-    r_folded = folder.acc
-    asm.free(r_first, r_last, r_dlast)
-
     # folded * inv_zeroifier == quotient  (verifier.rs:238-239)
     r_lhs = asm.mul(r_folded, r_invz)
     asm.free(r_folded, r_invz)
@@ -547,23 +579,111 @@ def build_verification_schedule(proof: Proof, config, air,
     return rows
 
 
+class _CNode:
+    """Counting-pass value: creation-order id of an op result."""
+
+    __slots__ = ("i",)
+
+    def __init__(self, i):
+        self.i = i
+
+
+class _CountOps:
+    """Structural twin of _AsmOps: every op returns an opaque node and
+    records how many times each created value is CONSUMED.  The emitting
+    pass replays the same (deterministic) air.eval with these exact use
+    counts, freeing each register at its last read — naive emission
+    leaks every chained intermediate and the file is NUM_REGS wide."""
+
+    point_ndim = 0
+
+    def __init__(self):
+        self.uses: List[int] = []
+
+    def _touch(self, *ops):
+        for o in ops:
+            if isinstance(o, _CNode):
+                self.uses[o.i] += 1
+
+    def _new(self, *ops):
+        self._touch(*ops)
+        self.uses.append(0)
+        return _CNode(len(self.uses) - 1)
+
+    def add(self, x, y):
+        return self._new(x, y)
+
+    def sub(self, x, y):
+        return self._new(x, y)
+
+    def mul(self, x, y):
+        return self._new(x, y)
+
+    def from_parts(self, a, b):
+        return self._new(a, b)
+
+    def zero(self):
+        return None
+
+    def one(self):
+        return None
+
+    def from_base(self, b):
+        return None
+
+
 class _AsmOps:
     """GF(p^2) ops adapter emitting FMA rows (scalar surface — wide-AIR
     vector helpers intentionally absent: attesting vector-constraint AIRs
-    would emit their constraints as unrolled scalars)."""
+    would emit their constraints as unrolled scalars).  With `uses` (from
+    a _CountOps pre-pass) every created register is freed at its last
+    read — exact liveness over the NUM_REGS-wide file."""
 
-    def __init__(self, asm: _Asm):
+    def __init__(self, asm: _Asm, uses: Optional[List[int]] = None):
         self.asm = asm
         self.point_ndim = 0
+        self.uses = uses
+        self._created = 0
+
+    def _consume(self, *hs):
+        if self.uses is None:
+            return
+        for h in hs:
+            n = getattr(h, "node", None)
+            if n is not None and h.kind == "reg":
+                self.uses[n] -= 1
+                if self.uses[n] <= 0:
+                    self.asm.free(h)
+
+    def _tag(self, h):
+        if self.uses is not None:
+            h.node = self._created
+            self._created += 1
+            if self.uses[h.node] <= 0:    # dead value: reclaim at once
+                self.asm.free(h)
+        return h
 
     def add(self, x, y):
-        return self.asm.add(x, y)
+        r = self.asm.add(x, y)
+        self._consume(x, y)
+        return self._tag(r)
 
     def sub(self, x, y):
-        return self.asm.sub(x, y)
+        r = self.asm.sub(x, y)
+        self._consume(x, y)
+        return self._tag(r)
 
     def mul(self, x, y):
-        return self.asm.mul(x, y)
+        r = self.asm.mul(x, y)
+        self._consume(x, y)
+        return self._tag(r)
+
+    def from_parts(self, a, b):
+        """a + X*b: two base columns as one GF(p^2) value (the stage-2
+        opened-value convention; refimpl IntExtOps.from_parts)."""
+        r = self.asm.fma(b, K(X2), a)
+        self._consume(a, b)
+        return self._tag(r)
 
     def zero(self):
         return K(ZERO2)
@@ -576,23 +696,36 @@ class _AsmOps:
 
 
 class _AsmFolder:
-    """VerifierConstraintFolder work-alike that folds each constraint
-    into the running accumulator AS IT IS ASSERTED (acc = acc*alpha + c,
-    identical order/math to air.rs:63-69) so constraint registers free
-    immediately — the register file is 10 wide."""
+    """VerifierConstraintFolder work-alike folding each constraint into
+    the running accumulator AS IT IS ASSERTED (acc = acc*alpha + c,
+    identical order/math to air.rs:63-69).  Counting mode (asm=None)
+    records use counts only; emitting mode spends registers with
+    exact-liveness freeing (see _fold_air)."""
 
-    def __init__(self, asm: _Asm, air, alpha, ov, r_first, r_last, r_trans):
+    def __init__(self, asm: Optional[_Asm], air, alpha, ov,
+                 r_first, r_last, r_trans, challenges=(),
+                 uses: Optional[List[int]] = None):
         self.asm = asm
-        self.ops = _AsmOps(asm)
-        self.alpha = alpha
-        self.is_first_row = r_first
-        self.is_last_row = r_last
-        self.is_transition = r_trans
-        self.publics = {k: K(int(v) % P)
-                        for k, v in air.public_values().items()}
-        self.challenges = []
-        self.main = _MainView(ov)
-        self.acc = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
+        if asm is None:
+            self.ops = _CountOps()
+            self.alpha = None
+            self.is_first_row = self.is_last_row = None
+            self.is_transition = None
+            self.publics = {k: None for k in air.public_values()}
+            self.challenges = [None] * len(challenges)
+            self.main = _MainView(ov, lambda v: None)
+            self.acc = None
+        else:
+            self.ops = _AsmOps(asm, uses)
+            self.alpha = alpha
+            self.is_first_row = r_first
+            self.is_last_row = r_last
+            self.is_transition = r_trans
+            self.publics = {k: K(int(v) % P)
+                            for k, v in air.public_values().items()}
+            self.challenges = [K(tuple(c)) for c in challenges]
+            self.main = _MainView(ov)
+            self.acc = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
 
     def when(self, condition):
         return _AsmFiltered(self, condition)
@@ -609,9 +742,11 @@ class _AsmFolder:
     def assert_zero(self, x):
         xs = x if isinstance(x, (list, tuple)) else [x]
         for c in xs:
-            self.asm.fma(self.acc, K(self.alpha), c, dst=self.acc)
-            if c.kind == "reg":
-                self.asm.free(c)
+            if self.asm is None:
+                self.ops._touch(c)
+            else:
+                self.asm.fma(self.acc, K(self.alpha), c, dst=self.acc)
+                self.ops._consume(c)
 
     def assert_eq(self, x, y):
         self.assert_zero(self.ops.sub(x, y))
@@ -619,8 +754,6 @@ class _AsmFolder:
     def assert_bool(self, x):
         t = self.ops.sub(x, self.ops.one())
         self.assert_zero(self.ops.mul(x, t))
-        if t.kind == "reg":
-            self.asm.free(t)
 
 
 class _AsmFiltered:
@@ -629,23 +762,42 @@ class _AsmFiltered:
         self.condition = condition
 
     def assert_zero(self, x):
-        gated = self.inner.ops.mul(self.condition, x)
-        if getattr(x, "kind", None) == "reg":
-            self.inner.asm.free(x)
-        self.inner.assert_zero(gated)
+        self.inner.assert_zero(self.inner.ops.mul(self.condition, x))
 
     def assert_eq(self, x, y):
         self.assert_zero(self.inner.ops.sub(x, y))
 
 
-class _MainView:
-    """Opened values as canonical-constant handles."""
+def _fold_air(asm: _Asm, air, alpha, ov, r_first, r_last, r_trans,
+              challenges) -> _Handle:
+    """Two-pass AIR constraint folding: a structural counting run (no
+    rows, no registers) learns each intermediate's use count, then the
+    emitting run frees registers at last use.  air.eval must be
+    deterministic in structure (it is also JAX-traced, which demands
+    the same).  Returns the accumulator register."""
+    cf = _AsmFolder(None, air, alpha, ov, None, None, None, challenges)
+    air.eval(cf)
+    ef = _AsmFolder(asm, air, alpha, ov, r_first, r_last, r_trans,
+                    challenges, uses=list(cf.ops.uses))
+    air.eval(ef)
+    assert ef.ops._created == len(cf.ops.uses), \
+        "air.eval structure diverged between counting and emitting passes"
+    return ef.acc
 
-    def __init__(self, ov):
-        self.trace_local = [K(v) for v in ov.trace_local]
-        self.trace_next = [K(v) for v in ov.trace_next]
-        self.quotient_chunks = [[K(tuple(e)) for e in ch]
+
+class _MainView:
+    """Opened values as canonical-constant handles (`mk` overrides the
+    handle factory for the counting pass)."""
+
+    def __init__(self, ov, mk=None):
+        mk = mk or (lambda v: K(tuple(v) if isinstance(v, (tuple, list))
+                                else v))
+        self.trace_local = [mk(v) for v in ov.trace_local]
+        self.trace_next = [mk(v) for v in ov.trace_next]
+        self.quotient_chunks = [[mk(tuple(e)) for e in ch]
                                 for ch in ov.quotient_chunks]
+        self.stage2_local = [mk(tuple(v)) for v in (ov.stage2_local or [])]
+        self.stage2_next = [mk(tuple(v)) for v in (ov.stage2_next or [])]
 
 
 def K_ext(pair) -> _Handle:   # convenience for tests
@@ -657,7 +809,7 @@ def K_ext(pair) -> _Handle:   # convenience for tests
 def execute_program(rows: List[VRow]):
     """Prover-side: run the algebra, returning per-row register file
     snapshots (AFTER the row) and operand values — plain-int host math.
-    Also resolves each 'f' row's leaf lanes (= prev row's R8/R9)."""
+    Also resolves each 'f' row's leaf lanes (= prev row's E0_REG/E1_REG)."""
     regs = [ZERO2] * NUM_REGS
     reg_rows = []
     operands = []            # (ua, ub, uc) per row (zeros for hash rows)

@@ -24,7 +24,7 @@ Two new row types join t/c/l:
       (write + bind = equality constraint against the canonical value).
 
   'f' (fold leaf): a hash chain start whose four leaf lanes are
-      CONSTRAINED equal to registers R8/R9 (e0, e1) of the previous row —
+      CONSTRAINED equal to registers R10/R11 (e0, e1) of the previous row —
       this is how values DERIVED in-trace (the FRI fold's interpolated
       evals) feed the Merkle hashing without the checker ever computing
       them: binding by adjacency instead of by accumulator.
@@ -245,7 +245,7 @@ class VerifierAir(Air):
         folder.when_transition().assert_zero(
             ops.mul(rep(n_sel_l), ops.mul(ops.sub(one, n_m), n_in)))
 
-        # 'f' rows: lanes 0..3 equal prev-row registers R8 (e0) and R9
+        # 'f' rows: lanes 0..3 equal prev-row registers R10 (e0) and R11
         # (e1) in hash order [e0.c0, e0.c1, e1.c0, e1.c1]; lanes 4..11 = 0
         e_cols = np.asarray([R_OFF + 2 * E0_REG, R_OFF + 2 * E0_REG + 1,
                              R_OFF + 2 * E1_REG, R_OFF + 2 * E1_REG + 1])

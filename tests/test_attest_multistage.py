@@ -1,0 +1,101 @@
+"""Attestation of multi-stage target proofs (stage-2 commitment +
+transcript challenges): the verification schedule carries the stage-2
+observation/challenge transcript steps, the third Merkle batch, the
+stage-2 reduced-opening terms, and challenge-dependent AIR folding
+(refimpl/verifier.py transcript head; src/p3/verifier.rs:100-240 extended
+by the framework's multi-stage mechanism)."""
+
+import copy
+import random
+
+import pytest
+
+import plonky25_tpu.attest as A
+import plonky25_tpu.attest_program as ap
+from plonky25_tpu.constants import GOLDILOCKS_P as P
+from plonky25_tpu.models.rlc_air import RlcAir
+from plonky25_tpu.proof import FriConfig, derive_config
+from plonky25_tpu.refimpl.prover import prove as refimpl_prove
+from plonky25_tpu.refimpl.verifier import verify as refimpl_verify
+
+FC = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
+ATT_FC = FriConfig(log_blowup=1, num_queries=10, proof_of_work_bits=4)
+
+
+@pytest.fixture(scope="module")
+def rlc_proof():
+    rng = random.Random(11)
+    trace = [[rng.randrange(1 << 63), rng.randrange(1 << 63)]
+             for _ in range(16)]
+    return refimpl_prove(RlcAir(), trace, FC)
+
+
+@pytest.fixture(scope="module")
+def rlc_bundle(rlc_proof):
+    return A.attest(rlc_proof, RlcAir(), FC, att_fri_config=ATT_FC,
+                    use_device_prover=False)
+
+
+def test_schedule_sample_layout(rlc_proof):
+    """Sample count includes the stage-2 challenges, and the rebuilt
+    schedule executes (every in-program assert passes)."""
+    ch = A._RecordingChallenger()
+    tr = refimpl_verify(rlc_proof, RlcAir(), FC, challenger=ch)
+    assert tr.ok
+    config = derive_config(rlc_proof, FC)
+    n_ch = RlcAir().num_challenges()
+    assert len(ch.samples) == ap.expected_sample_count(config, n_ch)
+    assert ap.n_presamples(config, n_ch) == ap.n_presamples(config) + 2
+
+    rows = ap.build_verification_schedule(rlc_proof, config, RlcAir(),
+                                          ch.samples)
+    ap.execute_program(rows)   # raises on any in-program assert failure
+    # the schedule contains a third Merkle batch per query: at least
+    # 3 leaf-start ('l') rows per query beyond the transcript start
+    n_leaf = sum(1 for r in rows if r.sel == "l")
+    assert n_leaf >= 1 + 3 * FC.num_queries
+
+
+def test_attest_and_check_multistage(rlc_proof, rlc_bundle):
+    assert A.check_attestation(rlc_bundle, rlc_proof, RlcAir(), FC,
+                               use_device_verifier=False,
+                               att_fri_config=ATT_FC)
+
+
+def test_challenge_sample_tamper_rejected(rlc_proof, rlc_bundle):
+    """Flipping a recorded stage-2 challenge sample breaks the binding
+    accumulator (the transcript chain re-derives the real one)."""
+    bad = copy.deepcopy(rlc_bundle)
+    bad.samples[0] = (bad.samples[0] + 1) % P
+    assert not A.check_attestation(bad, rlc_proof, RlcAir(), FC,
+                                   use_device_verifier=False,
+                                   att_fri_config=ATT_FC)
+
+
+def test_stage2_opened_tamper_rejected(rlc_proof, rlc_bundle):
+    """A tampered stage-2 opened value changes the canonical schedule,
+    so the bundle's accumulator no longer matches."""
+    bad_proof = copy.deepcopy(rlc_proof)
+    c0, c1 = bad_proof.opened_values.stage2_local[0]
+    bad_proof.opened_values.stage2_local[0] = ((c0 + 1) % P, c1)
+    assert not A.check_attestation(rlc_bundle, bad_proof, RlcAir(), FC,
+                                   use_device_verifier=False,
+                                   att_fri_config=ATT_FC)
+
+
+def test_attest_refuses_invalid_multistage(rlc_proof):
+    bad = copy.deepcopy(rlc_proof)
+    bad.opening_proof.fri_proof.pow_witness += 1
+    with pytest.raises(A.CannotAttest):
+        A.attest(bad, RlcAir(), FC, att_fri_config=ATT_FC,
+                 use_device_prover=False)
+
+
+def test_wrong_air_stage_shape_rejected(rlc_proof, rlc_bundle):
+    """Checking a multi-stage bundle against a single-stage air (or vice
+    versa) fails closed in the structural gate."""
+    from plonky25_tpu.models.fibonacci import FibonacciAir
+
+    assert not A.check_attestation(rlc_bundle, rlc_proof, FibonacciAir(),
+                                   FC, use_device_verifier=False,
+                                   att_fri_config=ATT_FC)
