@@ -129,8 +129,12 @@ def _device_instrumented_verify(proof: Proof, air, fri_config: FriConfig):
     w = pack_witness(proof, config)
     t = v._s_transcript(w["obs"])
     index = t["index"]
+    commits = [t["trace_commit"]]
+    if v.s2w:
+        commits.append(t["stage2_commit"])
+    commits.append(t["quotient_commit"])
     merkle_ok = None
-    for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+    for b, commit in enumerate(commits):
         okb = v._s_batch(index, w["batch_values"][b], w["batch_sibs"][b],
                          commit)
         merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
@@ -138,6 +142,7 @@ def _device_instrumented_verify(proof: Proof, air, fri_config: FriConfig):
         index, t["zeta"], t["zeta_next"], t["alpha_fri"],
         tuple(w["batch_values"]),
         w["trace_local"], w["trace_next"], w["quotient_chunks"],
+        w.get("stage2_local"), w.get("stage2_next"),
     )
     fold_ok = v._s_fold(
         index, t["phase_commits"], t["betas_stack"],
@@ -147,6 +152,8 @@ def _device_instrumented_verify(proof: Proof, air, fri_config: FriConfig):
     quotient_ok = v._s_final(
         t["alpha"], t["zeta"], w["trace_local"], w["trace_next"],
         w["quotient_chunks"], _publics_device(air),
+        w.get("stage2_local"), w.get("stage2_next"),
+        t.get("challenges"),
     )
     host = jax.device_get({
         "ok": t["pow_ok"] & jax.numpy.all(merkle_ok) & fold_ok & quotient_ok,

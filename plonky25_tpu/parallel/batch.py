@@ -46,9 +46,11 @@ class BatchVerifier:
         self._b = jax.jit(v._batched_batch_fn)
         self._r = jax.jit(jax.vmap(v._ro_fn))
         self._f = jax.jit(v._batched_fold_fn)
-        # publics broadcast across the proof axis (all proofs share the air)
+        # publics broadcast across the proof axis (all proofs share the
+        # air); stage-2 matrices and challenges carry a proof axis (None
+        # pytrees pass through untouched for single-stage AIRs)
         self._fin = jax.jit(jax.vmap(
-            v._final_fn, in_axes=(0, 0, 0, 0, 0, None)))
+            v._final_fn, in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0)))
 
     def verify_witnesses(self, ws: Dict, with_samples: bool = False):
         """ws: stacked witness (leading proof axis B).  Returns ok (B,) bool;
@@ -59,8 +61,12 @@ class BatchVerifier:
         t = self._t(ws["obs"])
         index = t["index"]
 
+        commits = [t["trace_commit"]]
+        if self.base.s2w:
+            commits.append(t["stage2_commit"])
+        commits.append(t["quotient_commit"])
         merkle_ok = None
-        for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+        for b, commit in enumerate(commits):
             okb = self._b(index, ws["batch_values"][b], ws["batch_sibs"][b], commit)
             merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
         merkle_all_ok = jnp.all(merkle_ok, axis=-1)
@@ -69,6 +75,7 @@ class BatchVerifier:
             index, t["zeta"], t["zeta_next"], t["alpha_fri"],
             tuple(ws["batch_values"]),
             ws["trace_local"], ws["trace_next"], ws["quotient_chunks"],
+            ws.get("stage2_local"), ws.get("stage2_next"),
         )
         fold_ok = self._f(
             index, t["phase_commits"], t["betas_stack"],
@@ -78,6 +85,8 @@ class BatchVerifier:
         quotient_ok = self._fin(
             t["alpha"], t["zeta"], ws["trace_local"], ws["trace_next"],
             ws["quotient_chunks"], _publics_device(self.base.air),
+            ws.get("stage2_local"), ws.get("stage2_next"),
+            t.get("challenges"),
         )
         ok = t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
         if with_samples:

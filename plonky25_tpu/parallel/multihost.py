@@ -132,7 +132,9 @@ class MultiHostBatchVerifier:
         out["fold_sibs"] = put(
             _pad_tree(ws["fold_sibs"], 2, self.Q_pad), s["blq_r2"])
         for k in ("obs", "trace_local", "trace_next", "quotient_chunks",
-                  "final_poly"):
+                  "final_poly", "stage2_local", "stage2_next"):
+            if k not in ws:
+                continue
             out[k] = jax.tree.map(
                 lambda a: put(a, NamedSharding(
                     self.mesh, P(*(("b",) + (None,) * (a.ndim - 1))))),
@@ -148,8 +150,12 @@ class MultiHostBatchVerifier:
         index = jax.device_put(
             _pad_axis(t["index"], 1, self.Q_pad), self._shardings()["bq"])
 
+        commits = [t["trace_commit"]]
+        if v.s2w:
+            commits.append(t["stage2_commit"])
+        commits.append(t["quotient_commit"])
         merkle_ok = None
-        for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+        for b, commit in enumerate(commits):
             okb = bv._b(index, ws["batch_values"][b], ws["batch_sibs"][b],
                         commit)
             merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
@@ -159,6 +165,7 @@ class MultiHostBatchVerifier:
             index, t["zeta"], t["zeta_next"], t["alpha_fri"],
             tuple(ws["batch_values"]),
             ws["trace_local"], ws["trace_next"], ws["quotient_chunks"],
+            ws.get("stage2_local"), ws.get("stage2_next"),
         )
         fold_ok = bv._f(
             index, t["phase_commits"], t["betas_stack"],
@@ -168,6 +175,8 @@ class MultiHostBatchVerifier:
         quotient_ok = bv._fin(
             t["alpha"], t["zeta"], ws["trace_local"], ws["trace_next"],
             ws["quotient_chunks"], _publics_device(v.air),
+            ws.get("stage2_local"), ws.get("stage2_next"),
+            t.get("challenges"),
         )
         return t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
 

@@ -24,7 +24,7 @@ from ..fields import gl, gl2
 from ..fields.extension import GL2
 from ..fields.goldilocks import GL
 from ..proof import FriConfig, P3Config, Proof, derive_config
-from ..verifier import TpuVerifier, VerifyResult, get_verifier
+from ..verifier import TpuVerifier, VerifyResult, _publics_device, get_verifier
 from ..witness import pack_witness
 from .mesh import make_mesh, query_shardings
 
@@ -71,8 +71,10 @@ class ShardedVerifier:
             _pad_tree(w["fold_sibling_values"], 1, self.Q_pad), s["lq"]
         )
         out["fold_sibs"] = put(_pad_tree(w["fold_sibs"], 1, self.Q_pad), s["lq_sibs"])
-        for k in ("obs", "trace_local", "trace_next", "quotient_chunks", "final_poly"):
-            out[k] = put(w[k], s["rep"])
+        for k in ("obs", "trace_local", "trace_next", "quotient_chunks",
+                  "final_poly", "stage2_local", "stage2_next"):
+            if k in w:
+                out[k] = put(w[k], s["rep"])
         return out
 
     def verify_witness(self, w: Dict) -> VerifyResult:
@@ -85,8 +87,12 @@ class ShardedVerifier:
             _pad_axis(t["index"], 0, self.Q_pad), self.shardings["idx"]
         )
 
+        commits = [t["trace_commit"]]
+        if v.s2w:
+            commits.append(t["stage2_commit"])
+        commits.append(t["quotient_commit"])
         merkle_ok = None
-        for b, commit in enumerate([t["trace_commit"], t["quotient_commit"]]):
+        for b, commit in enumerate(commits):
             okb = v._s_batch(index, w["batch_values"][b],
                              w["batch_sibs"][b], commit)
             merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
@@ -96,6 +102,7 @@ class ShardedVerifier:
             index, t["zeta"], t["zeta_next"], t["alpha_fri"],
             tuple(w["batch_values"]),
             w["trace_local"], w["trace_next"], w["quotient_chunks"],
+            w.get("stage2_local"), w.get("stage2_next"),
         )
 
         fold_ok = v._s_fold(index, t["phase_commits"], t["betas_stack"],
@@ -103,7 +110,10 @@ class ShardedVerifier:
                             w["fold_sibs"], w["final_poly"])
 
         quotient_ok = v._s_final(t["alpha"], t["zeta"], w["trace_local"],
-                                 w["trace_next"], w["quotient_chunks"])
+                                 w["trace_next"], w["quotient_chunks"],
+                                 _publics_device(v.air),
+                                 w.get("stage2_local"), w.get("stage2_next"),
+                                 t.get("challenges"))
 
         ok = t["pow_ok"] & merkle_all_ok & fold_ok & quotient_ok
         return VerifyResult(

@@ -83,6 +83,17 @@ def test_stage2_opened_tamper_rejected(rlc_proof, rlc_bundle):
                                    att_fri_config=ATT_FC)
 
 
+def test_device_instrumented_verify_multistage(rlc_proof):
+    """The jitted device verifier's recorded samples (the TPU attest
+    path's input) match the oracle challenger on a multi-stage proof —
+    challenges included."""
+    ok, samples = A._device_instrumented_verify(rlc_proof, RlcAir(), FC)
+    assert ok
+    ch = A._RecordingChallenger()
+    assert refimpl_verify(rlc_proof, RlcAir(), FC, challenger=ch).ok
+    assert samples == ch.samples
+
+
 def test_attest_refuses_invalid_multistage(rlc_proof):
     bad = copy.deepcopy(rlc_proof)
     bad.opening_proof.fri_proof.pow_witness += 1
@@ -99,3 +110,27 @@ def test_wrong_air_stage_shape_rejected(rlc_proof, rlc_bundle):
     assert not A.check_attestation(rlc_bundle, rlc_proof, FibonacciAir(),
                                    FC, use_device_verifier=False,
                                    att_fri_config=ATT_FC)
+
+
+def test_batched_sample_recording_multistage(rlc_proof):
+    """attest_many's batched recorder (ONE vmapped dispatch) matches the
+    single-proof instrumented verify on multi-stage proofs."""
+    batched = A._record_verifications_device(
+        [rlc_proof, rlc_proof], RlcAir(), FC)
+    _, single = A._device_instrumented_verify(rlc_proof, RlcAir(), FC)
+    assert batched[0] == batched[1] == single
+
+
+def test_attest_many_multistage(rlc_proof):
+    """One STARK attests a batch of multi-stage verifications."""
+    proofs = [rlc_proof, rlc_proof]
+    mb = A.attest_many(proofs, RlcAir(), FC, att_fri_config=ATT_FC,
+                       use_device_prover=False)
+    assert A.check_attestations(mb, proofs, RlcAir(), FC,
+                                use_device_verifier=False,
+                                att_fri_config=ATT_FC)
+    bad = copy.deepcopy(mb)
+    bad.samples[1][0] = (bad.samples[1][0] + 1) % P
+    assert not A.check_attestations(bad, proofs, RlcAir(), FC,
+                                    use_device_verifier=False,
+                                    att_fri_config=ATT_FC)

@@ -122,3 +122,49 @@ def test_stage2_wrong_gamma_binding(rlc_proof):
     bad.opened_values.stage2_local = other.opened_values.stage2_local
     bad.opened_values.stage2_next = other.opened_values.stage2_next
     assert not verify(bad, RlcAir(), FC).ok
+
+
+# ---- multi-stage proofs through the parallel verification paths --------
+
+def test_batch_verifier_multistage(rlc_proof):
+    """BatchVerifier routes the third Merkle batch, stage-2 reduced
+    openings, and transcript challenges across the proof axis."""
+    import numpy as np
+
+    from plonky25_tpu.parallel.batch import BatchVerifier
+
+    proof, _ = rlc_proof
+    bv = BatchVerifier(RlcAir(), derive_config(proof, FC))
+    oks = bv.verify([proof, proof])
+    assert np.asarray(oks).tolist() == [True, True]
+
+    bad = copy.deepcopy(proof)
+    c0, c1 = bad.opened_values.stage2_local[0]
+    bad.opened_values.stage2_local[0] = ((c0 + 1) % ((1 << 64) - (1 << 32) + 1), c1)
+    oks = bv.verify([proof, bad])
+    assert np.asarray(oks).tolist() == [True, False]
+
+
+def test_sharded_verifier_multistage(rlc_proof):
+    import jax
+    import numpy as np
+
+    from plonky25_tpu.parallel import ShardedVerifier, make_mesh
+
+    proof, _ = rlc_proof
+    sv = ShardedVerifier(RlcAir(), derive_config(proof, FC), make_mesh(8))
+    assert bool(np.asarray(sv.verify(proof).ok))
+
+
+def test_multihost_verifier_multistage(rlc_proof):
+    import jax
+    import numpy as np
+
+    from plonky25_tpu.parallel import MultiHostBatchVerifier, make_host_mesh
+
+    proof, _ = rlc_proof
+    m2 = make_host_mesh(n_query=4, devices=jax.devices()[:8])
+    mv = MultiHostBatchVerifier(RlcAir(), derive_config(proof, FC), m2)
+    ok_b, all_ok = mv.verify([proof, proof])
+    assert np.asarray(ok_b).tolist() == [True, True]
+    assert bool(np.asarray(all_ok))
