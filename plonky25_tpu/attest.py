@@ -478,3 +478,63 @@ def load_bundle(path: str):
 
     with open(path) as f:
         return bundle_from_json(json.load(f))
+
+
+# ------------------------------------------------------ recursive composition
+
+def _verifier_air_of(bundle) -> VerifierAir:
+    return VerifierAir({"gamma": tuple(bundle.gamma),
+                        "acc": tuple(bundle.acc)})
+
+
+def attest_attestation(bundle, att_fri_config: Optional[FriConfig] = None,
+                       use_device_prover: bool = True) -> AttestationBundle:
+    """Recursive composition: attest the VERIFICATION of an attestation
+    STARK.  The attestation's own AIR (VerifierAir) folds with the same
+    vector-ops surface every other AIR uses, so its STARK is just another
+    attestable proof — the analogue of the plonky2 substrate's recursive
+    proof composition that the reference builds on (its output proof is a
+    plonky2 proof, recursively composable by plonky2 itself).
+
+    The output attests "this VerifierAir STARK verifies under publics
+    (gamma, acc)"; binding those publics to the ORIGINAL target proof
+    remains the outer checker's schedule recomputation (byte marshaling +
+    the accumulator fold), exactly as in check_attestation."""
+    return attest(bundle.stark, _verifier_air_of(bundle),
+                  bundle.att_fri_config, att_fri_config=att_fri_config,
+                  use_device_prover=use_device_prover)
+
+
+def check_attested_attestation(outer: AttestationBundle,
+                               inner, proof: Proof, air,
+                               fri_config: FriConfig,
+                               use_device_verifier: bool = True,
+                               att_fri_config: Optional[FriConfig] = None,
+                               ) -> bool:
+    """Accept iff `outer` attests a valid verification of `inner`'s STARK
+    AND `inner` is structurally bound to (proof, air, fri_config): the
+    inner schedule is recomputed from proof bytes (marshaling + the
+    accumulator fold — no STARK verification of the inner proof, which is
+    what `outer` now carries)."""
+    import numpy as np  # noqa: F401  (parity with check_attestation)
+
+    if not _att_config_acceptable(inner.att_fri_config, None):
+        return False
+    if not _structural_ok(proof, fri_config=fri_config, air=air,
+                          samples=inner.samples):
+        return False
+    try:
+        config = derive_config(proof, fri_config)
+        rows = ap.build_verification_schedule(proof, config, air,
+                                              inner.samples)
+    except Exception:
+        return False
+    gamma = ap.derive_gammas(rows)
+    acc = ap.fold_accumulator(rows, gamma)
+    if (gamma != tuple(inner.gamma) or acc != tuple(inner.acc)
+            or len(rows) != inner.n_rows):
+        return False
+    return check_attestation(outer, inner.stark, _verifier_air_of(inner),
+                             inner.att_fri_config,
+                             use_device_verifier=use_device_verifier,
+                             att_fri_config=att_fri_config)

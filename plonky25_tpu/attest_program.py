@@ -28,6 +28,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from .constants import GOLDILOCKS_P as P, EXT_DEGREE, RATE, WIDTH
 from .models.poseidon2_air import CORE_WIDTH as CORE_W
 from .models.verifier_air import (
@@ -525,14 +527,23 @@ def build_verification_schedule(proof: Proof, config, air,
     asm.free(r_dfirst)
     r_first = asm.mul(r_zh, r_wf)
     r_last = asm.mul(r_zh, r_wl)
-    asm.free(r_wf, r_wl)
-    r_invz = asm.inv(r_zh)
-    asm.free(r_zh)
+    asm.free(r_wf, r_wl, r_zh)
 
     # AIR constraint folding with exact-liveness register management
     r_folded = _fold_air(asm, air, alpha, ov, r_first, r_last, r_dlast,
                          challenges)
     asm.free(r_first, r_last, r_dlast)
+
+    # zeroifier inverse, recomputed from constants AFTER the fold — held
+    # across air.eval it costs a live register for the whole constraint
+    # emission, which overflows the file when the AIR is VerifierAir
+    # itself (recursive attestation)
+    r_zh = asm.fma(K(zeta), K(shift_inv), K(ZERO2))
+    for _ in range(trace_domain.log_n):
+        asm.mul(r_zh, r_zh, dst=r_zh)
+    asm.fma(r_zh, K(ONE2), K(NEG1), dst=r_zh)
+    r_invz = asm.inv(r_zh)
+    asm.free(r_zh)
 
     # quotient reconstruction from chunks (verifier.rs:169-219)
     zps_host = []
@@ -579,111 +590,67 @@ def build_verification_schedule(proof: Proof, config, air,
     return rows
 
 
-class _CNode:
-    """Counting-pass value: creation-order id of an op result."""
+class _Fma:
+    """Lazy GF(p^2) expression node: a*b + c (operands are _Fma nodes or
+    _Handle leaves).  AIR folds build these DAGs; emission happens at
+    assert time (_AsmFolder.assert_zero) with per-tree use counting, so
+    register pressure is bounded by expression depth, not by how many
+    intermediates an AIR chains — wide/vector AIRs (Keccak, VerifierAir
+    itself) fold with the same NUM_REGS-wide file."""
 
-    __slots__ = ("i",)
+    __slots__ = ("a", "b", "c")
 
-    def __init__(self, i):
-        self.i = i
+    def __init__(self, a, b, c):
+        self.a = a
+        self.b = b
+        self.c = c
 
 
-class _CountOps:
-    """Structural twin of _AsmOps: every op returns an opaque node and
-    records how many times each created value is CONSUMED.  The emitting
-    pass replays the same (deterministic) air.eval with these exact use
-    counts, freeing each register at its last read — naive emission
-    leaks every chained intermediate and the file is NUM_REGS wide."""
-
-    point_ndim = 0
-
-    def __init__(self):
-        self.uses: List[int] = []
-
-    def _touch(self, *ops):
-        for o in ops:
-            if isinstance(o, _CNode):
-                self.uses[o.i] += 1
-
-    def _new(self, *ops):
-        self._touch(*ops)
-        self.uses.append(0)
-        return _CNode(len(self.uses) - 1)
-
-    def add(self, x, y):
-        return self._new(x, y)
-
-    def sub(self, x, y):
-        return self._new(x, y)
-
-    def mul(self, x, y):
-        return self._new(x, y)
-
-    def from_parts(self, a, b):
-        return self._new(a, b)
-
-    def zero(self):
-        return None
-
-    def one(self):
-        return None
-
-    def from_base(self, b):
-        return None
+def _is_vec(x) -> bool:
+    return isinstance(x, np.ndarray)
 
 
 class _AsmOps:
-    """GF(p^2) ops adapter emitting FMA rows (scalar surface — wide-AIR
-    vector helpers intentionally absent: attesting vector-constraint AIRs
-    would emit their constraints as unrolled scalars).  With `uses` (from
-    a _CountOps pre-pass) every created register is freed at its last
-    read — exact liveness over the NUM_REGS-wide file."""
+    """GF(p^2) ops adapter for AIR folding inside the attestation
+    schedule: LAZY scalar/vector expressions over canonical constants
+    and caller registers.  Vector values are numpy object arrays of
+    element nodes (the constraint axis, mirroring refimpl
+    IntExtOps' vector helpers); every op lowers to fused multiply-adds
+    at emission.  No host field arithmetic happens here — constants
+    stay symbolic until they land in bound operand slots."""
 
-    def __init__(self, asm: _Asm, uses: Optional[List[int]] = None):
+    def __init__(self, asm: _Asm):
         self.asm = asm
         self.point_ndim = 0
-        self.uses = uses
-        self._created = 0
 
-    def _consume(self, *hs):
-        if self.uses is None:
-            return
-        for h in hs:
-            n = getattr(h, "node", None)
-            if n is not None and h.kind == "reg":
-                self.uses[n] -= 1
-                if self.uses[n] <= 0:
-                    self.asm.free(h)
-
-    def _tag(self, h):
-        if self.uses is not None:
-            h.node = self._created
-            self._created += 1
-            if self.uses[h.node] <= 0:    # dead value: reclaim at once
-                self.asm.free(h)
-        return h
+    # ---- elementwise application with numpy-style broadcasting ---------
+    @staticmethod
+    def _ew(f, *xs):
+        arrs = [x for x in xs if _is_vec(x)]
+        if not arrs:
+            return f(*xs)
+        shape = np.broadcast_shapes(*[a.shape for a in arrs])
+        bs = [np.broadcast_to(x, shape) if _is_vec(x) else None for x in xs]
+        out = np.empty(shape, object)
+        for i in np.ndindex(shape):
+            out[i] = f(*[b[i] if b is not None else x
+                         for b, x in zip(bs, xs)])
+        return out
 
     def add(self, x, y):
-        r = self.asm.add(x, y)
-        self._consume(x, y)
-        return self._tag(r)
+        return self._ew(lambda a, b: _Fma(a, K(ONE2), b), x, y)
 
     def sub(self, x, y):
-        r = self.asm.sub(x, y)
-        self._consume(x, y)
-        return self._tag(r)
+        """x - y  (as (-1)*y + x)."""
+        return self._ew(lambda a, b: _Fma(b, K(NEG1), a), x, y)
 
     def mul(self, x, y):
-        r = self.asm.mul(x, y)
-        self._consume(x, y)
-        return self._tag(r)
+        return self._ew(lambda a, b: _Fma(a, b, K(ZERO2)), x, y)
 
     def from_parts(self, a, b):
         """a + X*b: two base columns as one GF(p^2) value (the stage-2
         opened-value convention; refimpl IntExtOps.from_parts)."""
-        r = self.asm.fma(b, K(X2), a)
-        self._consume(a, b)
-        return self._tag(r)
+        return self._ew(lambda x, y: _Fma(y, K(X2), x), a, b)
 
     def zero(self):
         return K(ZERO2)
@@ -694,38 +661,116 @@ class _AsmOps:
     def from_base(self, b):
         return K(int(b) % P)
 
+    # ---- vector helpers (constraint axis = axis 0) ----------------------
+    @staticmethod
+    def stack(vals):
+        if vals and _is_vec(vals[0]):
+            return np.stack(vals)
+        out = np.empty((len(vals),), object)
+        for i, v in enumerate(vals):
+            out[i] = v
+        return out
+
+    @staticmethod
+    def take(vec, idx):
+        return vec[np.asarray(idx)]
+
+    @staticmethod
+    def concat(vals):
+        return np.concatenate(vals, axis=0)
+
+    def const_base(self, ints):
+        out = np.empty((len(ints),), object)
+        for i, v in enumerate(ints):
+            out[i] = K(int(v) % P)
+        return out
+
+    # ---- emission --------------------------------------------------------
+    def emit_tree(self, root) -> _Handle:
+        """Evaluate one element DAG into a register (or pass a leaf
+        through).  Within the tree, shared nodes are computed once and
+        their registers freed at last use; leaves (canonical constants,
+        caller-held registers) are never freed.  Registers created here
+        are tagged node="tree" so the fold can free the root."""
+        if not isinstance(root, _Fma):
+            return root
+        uses: Dict[int, int] = {}
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            for o in (n.a, n.b, n.c):
+                if isinstance(o, _Fma):
+                    uses[id(o)] = uses.get(id(o), 0) + 1
+                    if uses[id(o)] == 1:
+                        stack.append(o)
+        # Sethi–Ullman register need (tree approximation of the DAG):
+        # evaluating a node's _Fma children in descending-need order
+        # holds i earlier results while computing child i, and all k
+        # child registers plus the fresh dst at the final fma.
+        need: Dict[int, int] = {}
+        nwork = [(root, False)]
+        while nwork:
+            n, ready = nwork.pop()
+            if id(n) in need:
+                continue
+            kids = [o for o in (n.a, n.b, n.c) if isinstance(o, _Fma)]
+            if not ready:
+                nwork.append((n, True))
+                nwork.extend((o, False) for o in kids
+                             if id(o) not in need)
+                continue
+            ks = sorted((need[id(o)] for o in kids), reverse=True)
+            need[id(n)] = max([k + i for i, k in enumerate(ks)]
+                              + [len(ks) + 1])
+        memo: Dict[int, _Handle] = {}
+
+        # iterative post-order (constraint DAGs can be thousands deep —
+        # e.g. the Poseidon2 core's internal-round chains)
+        work = [(root, False)]
+        while work:
+            n, ready = work.pop()
+            if not isinstance(n, _Fma) or id(n) in memo:
+                continue
+            if not ready:
+                work.append((n, True))
+                for o in sorted(
+                        (o for o in (n.a, n.b, n.c)
+                         if isinstance(o, _Fma) and id(o) not in memo),
+                        key=lambda o: need[id(o)]):
+                    work.append((o, False))   # popped desc-need first
+                continue
+            ops = [memo[id(o)] if isinstance(o, _Fma) else o
+                   for o in (n.a, n.b, n.c)]
+            r = self.asm.fma(*ops)
+            r.node = "tree"
+            for o, hh in zip((n.a, n.b, n.c), ops):
+                if isinstance(o, _Fma):
+                    uses[id(o)] -= 1
+                    if uses[id(o)] == 0 and hh.kind == "reg":
+                        self.asm.free(hh)
+            memo[id(n)] = r
+        return memo[id(root)]
+
 
 class _AsmFolder:
     """VerifierConstraintFolder work-alike folding each constraint into
     the running accumulator AS IT IS ASSERTED (acc = acc*alpha + c,
-    identical order/math to air.rs:63-69).  Counting mode (asm=None)
-    records use counts only; emitting mode spends registers with
-    exact-liveness freeing (see _fold_air)."""
+    identical order/math to air.rs:63-69; vector constraints flatten in
+    index order like refimpl IntExtOps.fold_constraints)."""
 
-    def __init__(self, asm: Optional[_Asm], air, alpha, ov,
-                 r_first, r_last, r_trans, challenges=(),
-                 uses: Optional[List[int]] = None):
+    def __init__(self, asm: _Asm, air, alpha, ov,
+                 r_first, r_last, r_trans, challenges=()):
         self.asm = asm
-        if asm is None:
-            self.ops = _CountOps()
-            self.alpha = None
-            self.is_first_row = self.is_last_row = None
-            self.is_transition = None
-            self.publics = {k: None for k in air.public_values()}
-            self.challenges = [None] * len(challenges)
-            self.main = _MainView(ov, lambda v: None)
-            self.acc = None
-        else:
-            self.ops = _AsmOps(asm, uses)
-            self.alpha = alpha
-            self.is_first_row = r_first
-            self.is_last_row = r_last
-            self.is_transition = r_trans
-            self.publics = {k: K(int(v) % P)
-                            for k, v in air.public_values().items()}
-            self.challenges = [K(tuple(c)) for c in challenges]
-            self.main = _MainView(ov)
-            self.acc = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
+        self.ops = _AsmOps(asm)
+        self.alpha = alpha
+        self.is_first_row = r_first
+        self.is_last_row = r_last
+        self.is_transition = r_trans
+        self.publics = {k: K(int(v) % P)
+                        for k, v in air.public_values().items()}
+        self.challenges = [K(tuple(c)) for c in challenges]
+        self.main = _MainView(ov)
+        self.acc = asm.fma(K(ZERO2), K(ZERO2), K(ZERO2))
 
     def when(self, condition):
         return _AsmFiltered(self, condition)
@@ -739,14 +784,22 @@ class _AsmFolder:
     def when_transition(self):
         return self.when(self.is_transition)
 
+    def _fold_one(self, elem):
+        h = self.ops.emit_tree(elem)
+        self.asm.fma(self.acc, K(self.alpha), h, dst=self.acc)
+        if h.kind == "reg" and h.node == "tree":
+            self.asm.free(h)
+
     def assert_zero(self, x):
-        xs = x if isinstance(x, (list, tuple)) else [x]
-        for c in xs:
-            if self.asm is None:
-                self.ops._touch(c)
-            else:
-                self.asm.fma(self.acc, K(self.alpha), c, dst=self.acc)
-                self.ops._consume(c)
+        if isinstance(x, (list, tuple)):
+            for c in x:
+                self.assert_zero(c)
+            return
+        if _is_vec(x):
+            for c in x.reshape(-1):
+                self._fold_one(c)
+            return
+        self._fold_one(x)
 
     def assert_eq(self, x, y):
         self.assert_zero(self.ops.sub(x, y))
@@ -770,28 +823,22 @@ class _AsmFiltered:
 
 def _fold_air(asm: _Asm, air, alpha, ov, r_first, r_last, r_trans,
               challenges) -> _Handle:
-    """Two-pass AIR constraint folding: a structural counting run (no
-    rows, no registers) learns each intermediate's use count, then the
-    emitting run frees registers at last use.  air.eval must be
-    deterministic in structure (it is also JAX-traced, which demands
-    the same).  Returns the accumulator register."""
-    cf = _AsmFolder(None, air, alpha, ov, None, None, None, challenges)
-    air.eval(cf)
-    ef = _AsmFolder(asm, air, alpha, ov, r_first, r_last, r_trans,
-                    challenges, uses=list(cf.ops.uses))
-    air.eval(ef)
-    assert ef.ops._created == len(cf.ops.uses), \
-        "air.eval structure diverged between counting and emitting passes"
-    return ef.acc
+    """AIR constraint folding into the schedule: builds the lazy
+    constraint DAGs and emits them at assert time.  Returns the
+    accumulator register."""
+    f = _AsmFolder(asm, air, alpha, ov, r_first, r_last, r_trans,
+                   challenges)
+    air.eval(f)
+    return f.acc
 
 
 class _MainView:
-    """Opened values as canonical-constant handles (`mk` overrides the
-    handle factory for the counting pass)."""
+    """Opened values as canonical-constant handles."""
 
-    def __init__(self, ov, mk=None):
-        mk = mk or (lambda v: K(tuple(v) if isinstance(v, (tuple, list))
-                                else v))
+    def __init__(self, ov):
+        def mk(v):
+            return K(tuple(v) if isinstance(v, (tuple, list)) else v)
+
         self.trace_local = [mk(v) for v in ov.trace_local]
         self.trace_next = [mk(v) for v in ov.trace_next]
         self.quotient_chunks = [[mk(tuple(e)) for e in ch]

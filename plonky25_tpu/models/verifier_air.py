@@ -325,9 +325,15 @@ class VerifierAir(Air):
         acc = seg(L, ACC_OFF, 2)
         n_acc = seg(N, ACC_OFF, 2)
 
-        def contrib_k(k, row_cols):
+        def contrib_k(k, row_cols, extra_terms=()):
             """Slot contribution of one row, gamma_k powers.  row_cols:
-            dict of the row's column segments."""
+            dict of the row's column segments.  `extra_terms` are folded
+            in LAST — terms consume gamma powers in slot order, so a
+            term needing gp[SLOT_SHIFT] (the highest power) must come
+            after every contrib term: the attestation assembler frees
+            each power at its last read, and evaluating the top power
+            first would hold the whole chain live (it overflows the
+            NUM_REGS file when this AIR is itself attested)."""
             gp = gpows[k]
             terms = []
             for j in range(WIDTH):
@@ -351,6 +357,7 @@ class VerifierAir(Air):
                     terms.append(ops.mul(
                         ops.mul(mrk, take(row_cols["R"], [2 * kk + comp])),
                         gp[SLOT_R + 2 * kk + comp]))
+            terms.extend(extra_terms)
             tot = terms[0]
             for t in terms[1:]:
                 tot = ops.add(tot, t)
@@ -374,8 +381,9 @@ class VerifierAir(Air):
         for k in range(2):
             cur_k = take(acc, [k])
             nxt_k = take(n_acc, [k])
-            want = ops.add(ops.mul(cur_k, gpows[k][SLOT_SHIFT]),
-                           contrib_k(k, cols_n))
+            want = contrib_k(
+                k, cols_n,
+                extra_terms=[ops.mul(cur_k, gpows[k][SLOT_SHIFT])])
             folder.when_transition().assert_zero(
                 ops.sub(nxt_k,
                         ops.add(ops.mul(n_active, want),

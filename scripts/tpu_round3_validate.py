@@ -114,8 +114,37 @@ def stage_batch():
     print(f"batch: warm attest_many(4) {t_att:.2f}s, check {t_chk:.2f}s")
 
 
+def stage_recurse():
+    """Recursive composition: attest the verification of an attestation
+    STARK (VerifierAir target) end-to-end on device, then check the
+    outer bundle with the inner verification replaced by schedule
+    recomputation + the outer STARK."""
+    from plonky25_tpu import FriConfig, load_proof
+    from plonky25_tpu.attest import (attest, attest_attestation,
+                                     check_attested_attestation)
+    from plonky25_tpu.models import FibonacciAir
+
+    fc = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    proof = load_proof(ARTIFACT)
+    air = FibonacciAir()
+    inner = attest(proof, air, fc)
+    t0 = time.time()
+    outer = attest_attestation(inner)
+    t_att = time.time() - t0
+    t0 = time.time()
+    ok = check_attested_attestation(outer, inner, proof, air, fc)
+    t_chk = time.time() - t0
+    assert ok
+    bad = copy.deepcopy(inner)
+    bad.acc = ((bad.acc[0] + 1) % ((1 << 64) - (1 << 32) + 1), bad.acc[1])
+    assert not check_attested_attestation(outer, bad, proof, air, fc)
+    print(f"recurse: outer attest {t_att:.1f}s, check {t_chk:.2f}s, "
+          f"tamper rejected")
+
+
 STAGES = {"verify": stage_verify, "prover": stage_prover,
-          "attest": stage_attest, "batch": stage_batch}
+          "attest": stage_attest, "batch": stage_batch,
+          "recurse": stage_recurse}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(STAGES)

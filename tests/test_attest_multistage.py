@@ -134,3 +134,116 @@ def test_attest_many_multistage(rlc_proof):
     assert not A.check_attestations(bad, proofs, RlcAir(), FC,
                                     use_device_verifier=False,
                                     att_fri_config=ATT_FC)
+
+
+# ---- vector-op AIRs through the attestation assembler ------------------
+
+class VecSumAir:
+    """Minimal AIR exercising the VECTOR ops surface (stack/take/concat/
+    const_base + elementwise arithmetic) that wide AIRs (KeccakAir,
+    VerifierAir itself) fold with — the attestation assembler lowers
+    these to scalar FMA rows at assert time."""
+
+    def name(self):
+        return "VecSum"
+
+    def width(self):
+        return 4
+
+    def stage2_width(self):
+        return 0
+
+    def num_challenges(self):
+        return 0
+
+    def public_values(self):
+        return {}
+
+    def quotient_degree(self):
+        return 2
+
+    def eval(self, folder):
+        ops = folder.ops
+        L = ops.stack(folder.main.trace_local)
+        N = ops.stack(folder.main.trace_next)
+        w = ops.const_base([1, 2, 3, 4])
+        s = ops.mul(L, w)
+        tot = None
+        for j in range(4):
+            tj = ops.take(s, [j])
+            tot = tj if tot is None else ops.add(tot, tj)
+        folder.when_transition().assert_zero(ops.sub(ops.take(N, [0]), tot))
+        # concat over same-kind trace segments, as VerifierAir does
+        pair = ops.concat([ops.take(L, [0]), ops.take(L, [0])])
+        folder.when_first_row().assert_zero(
+            ops.sub(pair, ops.const_base([7, 7])))
+
+
+def _vecsum_trace(h):
+    rng = random.Random(3)
+    rows = [[7, rng.randrange(P), rng.randrange(P), rng.randrange(P)]]
+    for _ in range(h - 1):
+        prev = rows[-1]
+        nxt0 = (prev[0] + 2 * prev[1] + 3 * prev[2] + 4 * prev[3]) % P
+        rows.append([nxt0, rng.randrange(P), rng.randrange(P),
+                     rng.randrange(P)])
+    return rows
+
+
+@pytest.fixture(scope="module")
+def vec_proof():
+    return refimpl_prove(VecSumAir(), _vecsum_trace(16), FC)
+
+
+def test_vector_air_attest_roundtrip(vec_proof):
+    assert refimpl_verify(vec_proof, VecSumAir(), FC).ok
+    b = A.attest(vec_proof, VecSumAir(), FC, att_fri_config=ATT_FC,
+                 use_device_prover=False)
+    assert A.check_attestation(b, vec_proof, VecSumAir(), FC,
+                               use_device_verifier=False,
+                               att_fri_config=ATT_FC)
+    bad = copy.deepcopy(vec_proof)
+    bad.opened_values.trace_local[2] = (
+        (bad.opened_values.trace_local[2][0] + 1) % P,
+        bad.opened_values.trace_local[2][1])
+    assert not A.check_attestation(b, bad, VecSumAir(), FC,
+                                   use_device_verifier=False,
+                                   att_fri_config=ATT_FC)
+
+
+# ---- recursive composition: the attestation STARK is itself attestable -
+
+def test_recursive_composition_schedule(rlc_proof):
+    """attest_attestation's schedule: the verification of a VerifierAir
+    STARK (522-wide trace, vector-op constraint fold) compiles into a
+    canonical row schedule whose program executes (all in-program asserts
+    pass) and whose binding accumulator derives — the full outer STARK
+    prove runs on TPU (scripts/tpu_round3_validate.py recurse stage)."""
+    from plonky25_tpu.models.fibonacci import FibonacciAir, fibonacci_trace
+
+    small_att_fc = FriConfig(log_blowup=1, num_queries=2,
+                             proof_of_work_bits=1)
+    proof = refimpl_prove(FibonacciAir(), fibonacci_trace(8), FC)
+    inner = A.attest(proof, FibonacciAir(), FC,
+                     att_fri_config=small_att_fc, use_device_prover=False)
+
+    v_air = A._verifier_air_of(inner)
+    assert refimpl_verify(inner.stark, v_air, small_att_fc).ok
+
+    samples = A._record_verification(inner.stark, v_air, small_att_fc,
+                                     use_device=False)
+    cfg = derive_config(inner.stark, small_att_fc)
+    rows = ap.build_verification_schedule(inner.stark, cfg, v_air, samples)
+    ap.execute_program(rows)   # raises on any in-program assert failure
+    gamma = ap.derive_gammas(rows)
+    acc = ap.fold_accumulator(rows, gamma)
+    assert gamma != (0, 0) and acc != (0, 0)
+
+    # inner-binding arm of check_attested_attestation: a tampered inner
+    # bundle fails closed before any outer STARK work
+    fake_outer = inner  # config-acceptable placeholder; never reached
+    bad_inner = copy.deepcopy(inner)
+    bad_inner.acc = ((bad_inner.acc[0] + 1) % P, bad_inner.acc[1])
+    assert not A.check_attested_attestation(
+        fake_outer, bad_inner, proof, FibonacciAir(), FC,
+        use_device_verifier=False)
