@@ -1,11 +1,15 @@
 """Prover throughput benchmark (steady-state, shape-warmed).
 
-    python scripts/prover_bench.py [log_n ...]   # default: 10 12
+    python scripts/prover_bench.py [--mesh] [log_n ...]
+    # default sizes: 10 12 15 18 20 (BASELINE config 2's promised range)
 
 Reports per trace height: first-proof wall clock (includes concurrent
-module compilation), steady-state re-prove latency, and trace cells/s.
-The proof is checked against the TPU verifier each run.
-"""
+module compilation), steady-state re-prove latency, trace cells/s, and
+peak HBM.  The proof is checked against the TPU verifier each run.
+--mesh routes the trace LDE through the mesh-sharded four-step NTT
+(TpuProver(lde_mesh=...)) over all local devices; on one chip this is
+the sharded code path at shard-count 1 (correctness/overhead probe, not
+a scaling claim)."""
 
 import os
 import sys
@@ -41,18 +45,35 @@ def _peak_hbm():
 
 
 def main():
-    log_ns = [int(a) for a in sys.argv[1:]] or [10, 12]
+    argv = sys.argv[1:]
+    use_mesh = "--mesh" in argv
+    argv = [a for a in argv if a != "--mesh"]
+    log_ns = [int(a) for a in argv] or [10, 12, 15, 18, 20]
     air = FibonacciAir()
+    mesh = None
+    if use_mesh:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()), ("lde",))
     for log_n in log_ns:
         trace = fibonacci_trace(1 << log_n)
+        prover = None
+        if mesh is not None:
+            from plonky25_tpu.prover.prove import TpuProver
+            prover = TpuProver(air, log_n, FC, lde_mesh=mesh)
+
+        def prove(t=trace, p=prover):
+            if p is not None:
+                return p.prove(t)
+            return prove_on_device(air, t, FC)
+
         t0 = time.time()
-        prove_on_device(air, trace, FC)
+        prove()
         first = time.time() - t0
 
-        reps = 3
+        reps = 3 if log_n <= 16 else 2
         t0 = time.time()
         for _ in range(reps):
-            proof = prove_on_device(air, trace, FC)
+            proof = prove()
         steady = (time.time() - t0) / reps
         peak = _peak_hbm()
 
