@@ -168,11 +168,14 @@ def _mfu_section(v, w, fc, queries_per_sec, bv=None, ws=None):
         section["fri_fold_batched"] = mfu_report(
             f"fri_fold_batched_B{bsz}", per_bq, bsz * nq / dt)
 
-        bargs = (tb["index"], ws["batch_values"][0], ws["batch_sibs"][0],
-                 tb["trace_commit"])
-        mb_count = count_int_ops(v._batch_fn, t["index"],
-                                 w["batch_values"][0], w["batch_sibs"][0],
-                                 t["trace_commit"])
+        # all commitment batches fused into one walk (verifier._batch_all_fn)
+        bargs = (tb["index"], tuple(ws["batch_values"]),
+                 tuple(ws["batch_sibs"]),
+                 (tb["trace_commit"], tb["quotient_commit"]))
+        mb_count = count_int_ops(v._batch_all_fn, t["index"],
+                                 tuple(w["batch_values"]),
+                                 tuple(w["batch_sibs"]),
+                                 (t["trace_commit"], t["quotient_commit"]))
         per_mq = OpCount(mb_count.int_ops / nq, mb_count.exact)
         dt = _timeit(lambda: bv._b(*bargs),
                      lambda o: sync(jax.numpy.asarray(o)))

@@ -133,11 +133,8 @@ def _device_instrumented_verify(proof: Proof, air, fri_config: FriConfig):
     if v.s2w:
         commits.append(t["stage2_commit"])
     commits.append(t["quotient_commit"])
-    merkle_ok = None
-    for b, commit in enumerate(commits):
-        okb = v._s_batch(index, w["batch_values"][b], w["batch_sibs"][b],
-                         commit)
-        merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
+    merkle_ok = v._s_batch_all(index, tuple(w["batch_values"]),
+                               tuple(w["batch_sibs"]), tuple(commits))
     ro_stack = v._s_ro(
         index, t["zeta"], t["zeta_next"], t["alpha_fri"],
         tuple(w["batch_values"]),

@@ -78,12 +78,16 @@ def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None,
     """Walk a batch of Merkle paths (commit.rs:92-123, single-matrix case).
 
     leaf_digest: GL (Q, 4); index: uint32 (Q,); siblings: GL (Q, D, 4);
-    valid: optional bool (D,) mask for padded depths (masked steps leave the
-    root and index untouched).  Returns (root GL (Q, 4), index_out (Q,)).
+    valid: optional bool (D,) — or per-lane (D, Q) for batches mixing
+    paths of different true depths — mask for padded depths (masked steps
+    leave the root and index untouched).  Returns (root GL (Q, 4),
+    index_out (Q,)).
     """
     D = siblings.shape[-2]
     if valid is None:
         valid = jnp.ones((D,), bool)
+    if valid.ndim == 1:
+        valid = valid[:, None]  # (D, 1): broadcasts against (Q,) lanes
     sib_scan = GL(
         jnp.moveaxis(siblings.lo, -2, 0),
         jnp.moveaxis(siblings.hi, -2, 0),
@@ -96,7 +100,7 @@ def merkle_path(leaf_digest: GL, index, siblings: GL, valid=None,
         left = gl.select(is_odd, sib, root)
         right = gl.select(is_odd, root, sib)
         new_root = compress(left, right, permute)
-        root = gl.select(v, new_root, root)
+        root = gl.select(v[..., None], new_root, root)
         idx = jnp.where(v, idx >> 1, idx)
         return (root, idx), None
 

@@ -43,7 +43,7 @@ class BatchVerifier:
         # of vmapping, so the fused Pallas Poseidon2 kernel serves the
         # whole batch as one wide grid (vmap over pallas_call would
         # serialize it; verifier._batched_*_fn)
-        self._b = jax.jit(v._batched_batch_fn)
+        self._b = jax.jit(v._batched_batch_all_fn)
         self._r = jax.jit(jax.vmap(v._ro_fn))
         self._f = jax.jit(v._batched_fold_fn)
         # publics broadcast across the proof axis (all proofs share the
@@ -65,10 +65,8 @@ class BatchVerifier:
         if self.base.s2w:
             commits.append(t["stage2_commit"])
         commits.append(t["quotient_commit"])
-        merkle_ok = None
-        for b, commit in enumerate(commits):
-            okb = self._b(index, ws["batch_values"][b], ws["batch_sibs"][b], commit)
-            merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
+        merkle_ok = self._b(index, tuple(ws["batch_values"]),
+                            tuple(ws["batch_sibs"]), tuple(commits))
         merkle_all_ok = jnp.all(merkle_ok, axis=-1)
 
         ro_stack = self._r(

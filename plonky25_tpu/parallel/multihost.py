@@ -154,11 +154,8 @@ class MultiHostBatchVerifier:
         if v.s2w:
             commits.append(t["stage2_commit"])
         commits.append(t["quotient_commit"])
-        merkle_ok = None
-        for b, commit in enumerate(commits):
-            okb = bv._b(index, ws["batch_values"][b], ws["batch_sibs"][b],
-                        commit)
-            merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
+        merkle_ok = bv._b(index, tuple(ws["batch_values"]),
+                          tuple(ws["batch_sibs"]), tuple(commits))
         merkle_all_ok = jnp.all(merkle_ok, axis=-1)
 
         ro_stack = bv._r(

@@ -190,6 +190,7 @@ class TpuVerifier:
         # ---- jitted stages
         self._s_transcript = jax.jit(self._transcript_fn)
         self._s_batch = jax.jit(self._batch_fn)
+        self._s_batch_all = jax.jit(self._batch_all_fn)
         self._s_ro = jax.jit(self._ro_fn)
         self._s_fold = jax.jit(self._fold_fn, static_argnames=("record",))
         self._s_final = jax.jit(self._final_fn)
@@ -241,6 +242,56 @@ class TpuVerifier:
         return verify_batch_single(commit, leaf, index, sibs,
                                    permute=self._permute)
 
+    def _batch_all_fn(self, index, vals_list, sibs_list, commits,
+                      permute=None):
+        """ALL commitment batches' Merkle openings in one dispatch.
+
+        The per-commitment loop chains NB full path walks sequentially —
+        NB·(1+D) serial permutations, each over only Q lanes.  When every
+        batch's leaf row fits one sponge chunk (width ≤ RATE, true for
+        the trace/stage-2/quotient batches of the golden proof family)
+        and the paths share a depth, the walks fuse: leaves zero-pad to
+        RATE (the overwrite-mode sponge state starts at zero, so padding
+        the FIRST chunk is hash-identical, commit.rs:37-45) and the batch
+        axis concatenates onto the query lane — 1+D serial permutations
+        over NB·Q lanes.  Falls back to the sequential per-batch form
+        (e.g. Keccak's 659-chunk trace rows) inside the same jit."""
+        from .constants import RATE
+
+        permute = permute or self._permute
+        Q = index.shape[-1]
+        widths = [int(np.prod(v.shape[len(v.shape) - 2:])) for v in vals_list]
+        depths = {s.shape[-2] for s in sibs_list}
+        if (len(vals_list) == 1 or len(depths) != 1
+                or any(wd > RATE for wd in widths)):
+            ok = None
+            for v, s, c in zip(vals_list, sibs_list, commits):
+                leaf = v.reshape(*v.shape[:-2], -1)
+                okb = verify_batch_single(c, leaf, index, s, permute=permute)
+                ok = okb if ok is None else ok & okb
+            return ok
+
+        NB = len(vals_list)
+        leaves = []
+        for v, wd in zip(vals_list, widths):
+            leaf = v.reshape(Q, wd)
+            if wd < RATE:
+                leaf = gl.concatenate([leaf, gl.zeros((Q, RATE - wd))],
+                                      axis=-1)
+            leaves.append(leaf)
+        leaf = gl.concatenate(leaves, axis=0)            # (NB·Q, RATE)
+        sibs = gl.concatenate(list(sibs_list), axis=0)   # (NB·Q, D, 4)
+        idxs = jnp.broadcast_to(index[None], (NB, Q)).reshape(NB * Q)
+        digest = hash_rows(leaf, permute)
+        root, _ = merkle_path(digest, idxs, sibs, permute=permute)
+        roots = root.reshape(NB, Q, 4)
+        cs = gl.stack(list(commits))                     # (NB,4)|(NB,Q,4)
+        if cs.lo.ndim == 2:
+            want = GL(cs.lo[:, None, :], cs.hi[:, None, :])
+        else:
+            want = cs
+        return jnp.all(gl.eq(roots, want), axis=(0, -1))  # (Q,) bool
+
     # ------------------------------------------- natively batched stages
     # The BatchVerifier used to vmap _batch_fn/_fold_fn over the proof
     # axis; under vmap a pallas_call lowers to a serial grid loop, so the
@@ -260,6 +311,30 @@ class TpuVerifier:
 
             return poseidon2_permute_pallas
         return self._permute
+
+    def _batched_batch_all_fn(self, index, vals_list, sibs_list, commits):
+        """_batch_all_fn over a leading proof axis: index (B, Q),
+        vals_list[b] (B, Q, M, C), sibs_list[b] (B, Q, D, 4),
+        commits[b] (B, 4) -> ok (B, Q)."""
+        B, Q = index.shape
+
+        def flat(x):
+            return jax.tree.map(
+                lambda a: a.reshape((B * Q,) + a.shape[2:]), x)
+
+        coms = tuple(
+            jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a[:, None, :], (B, Q, 4)).reshape(B * Q, 4), c)
+            for c in commits)
+        ok = self._batch_all_fn(
+            index.reshape(B * Q),
+            tuple(flat(v) for v in vals_list),
+            tuple(flat(s) for s in sibs_list),
+            coms,
+            permute=self._permute_wide(B * Q),
+        )
+        return ok.reshape(B, Q)
 
     def _batched_batch_fn(self, index, vals: GL, sibs: GL, commit: GL):
         """_batch_fn over a leading proof axis: index (B, Q), vals
@@ -440,16 +515,26 @@ class TpuVerifier:
     def _fold_core(self, index, phase_commits: GL, betas_stack: GL2,
                    sib_vals: GL2, ro_stack: GL2, fold_sibs: GL,
                    final_poly: GL2, permute, record: bool = False):
-        """FRI fold (verifier.rs:419-519).
+        """FRI fold (verifier.rs:419-519), in two phases.
 
-        Levels are scanned in GROUPS of two, each group's Merkle paths
-        padded only to the group's own max depth (level l opens a
-        height-(L-l) tree, serde/proof.rs:204-211): 24+6 permutations per
-        query for the golden shape instead of 42 with uniform depth-L
-        padding — the fold stage dominated batch verification — while the
-        traced graph stays at ceil(L/2) scan bodies (a full per-level
-        unroll made XLA compile time blow up superlinearly; see the module
-        docstring's compile-cost discipline).
+        Phase A runs the fold recurrence itself — reduced-opening add,
+        sibling select by index parity, interpolation at β — as one
+        lax.scan over levels of pure GL/GL2 arithmetic (no hashing):
+        a few dozen element-wise ops per level on (Q,) lanes.
+
+        Phase B then performs ALL the stage's hashing in one batched
+        dispatch over (level × query) lanes: the L per-level 2-row
+        leaves hash as a single (L·Q)-lane hash_rows call (one
+        permutation deep) and the L Merkle paths walk together in one
+        merkle_path scan over the max depth with a per-lane validity
+        mask (level l's path is L-l deep, serde/proof.rs:204-211).
+
+        The previous level-by-level structure chained ~30 permutations
+        sequentially per proof (6 leaf hashes + 24 depth-grouped path
+        compresses), each over only Q lanes — dispatch/latency-bound at
+        Q=100 (2.7% of the u32 integer ceiling, BENCH_r02).  The
+        two-phase form cuts the serial hash chain to 1 + L permutations
+        at L× the lane width; field values are identical.
 
         The interpolation denominator 1/(xs1-xs0) = ±1/(2x) comes from a
         CARRIED inverse: inv_x = g^{-rev(idx)} via the same masked-product
@@ -468,25 +553,15 @@ class TpuVerifier:
         half = gl.full((Q,), Gl.inv(2))
 
         def fold_body(carry, xs):
-            folded, idx, x, inv_x, ok = carry
-            commit, beta, sib_val, ro_l, sibs, v = xs
+            folded, idx, x, inv_x = carry
+            beta, sib_val, ro_l = xs
             folded = gl2.add(ro_l, folded)
 
             idx_sibling = idx ^ jnp.uint32(1)
-            idx_pair = idx >> 1
             is_odd = (idx_sibling & jnp.uint32(1)).astype(bool)
 
             e0 = gl2.select(is_odd, folded, sib_val)
             e1 = gl2.select(is_odd, sib_val, folded)
-            leaf_rec = (e0, e1) if record else None
-
-            # leaf row = [e0.c0, e0.c1, e1.c0, e1.c1] (verifier.rs:471-481)
-            leaf = gl.stack([e0.c0, e0.c1, e1.c0, e1.c1], axis=-1)
-            digest = hash_rows(leaf, permute)
-            root, _ = merkle_path(digest, idx_pair, sibs, v,
-                                  permute=permute)
-            ok &= jnp.all(gl.eq(root, gl.broadcast_to(commit, root.shape)),
-                          axis=-1)
 
             # sibling x-coordinate differs by the order-2 generator (= -1):
             # xs0 = ±x, and 1/(xs1-xs0) = ±(1/2)·inv_x
@@ -497,33 +572,44 @@ class TpuVerifier:
             num = gl2.mul(gl2.sub(e1, e0),
                           gl2.sub_base(gl2.broadcast_to(beta, (Q,)), xs0))
             folded = gl2.add(e0, gl2.mul_base(num, inv_denom))
-            return ((folded, idx_pair, gl.square(x), gl.square(inv_x), ok),
-                    leaf_rec)
+            return ((folded, idx >> 1, gl.square(x), gl.square(inv_x)),
+                    (e0, e1))
 
-        carry = (gl2.zeros((Q,)), index, x, inv_x, jnp.ones((Q,), bool))
-        GROUP = 2
-        leaves = []
-        for l0 in range(0, L, GROUP):
-            l1 = min(l0 + GROUP, L)
-            dmax = L - l0  # deepest path in this group
-            xs = (
-                phase_commits[l0:l1],
-                betas_stack[l0:l1],
-                sib_vals[l0:l1],
-                ro_stack[l0:l1],
-                fold_sibs[l0:l1][:, :, :dmax],
-                jnp.asarray(self.fold_valid[l0:l1, :dmax]),
-            )
-            carry, ys = jax.lax.scan(fold_body, carry, xs)
-            if record:
-                leaves.append(ys)        # ((e0, e1) stacked (g, Q) ext)
+        carry = (gl2.zeros((Q,)), index, x, inv_x)
+        (folded_eval, _, _, _), (e0s, e1s) = jax.lax.scan(
+            fold_body, carry, (betas_stack, sib_vals, ro_stack))
+        # e0s/e1s: GL2 (L, Q)
 
-        folded_eval, _, _, _, ok = carry
+        # leaf row = [e0.c0, e0.c1, e1.c0, e1.c1] (verifier.rs:471-481);
+        # all L levels hash as one (L·Q)-lane batch
+        leaf = gl.stack([e0s.c0, e0s.c1, e1s.c0, e1s.c1], axis=-1)  # (L,Q,4)
+        digest = hash_rows(leaf.reshape(L * Q, 4), permute)
+
+        # level l's path starts at the pair index: index >> (l+1)
+        shifts = jnp.arange(1, L + 1, dtype=jnp.uint32)[:, None]
+        idx_paths = jnp.asarray(index, jnp.uint32)[None, :] >> shifts
+        Dmax = fold_sibs.shape[-2]
+        valid_np = (np.arange(Dmax)[None, :]
+                    < (L - np.arange(L))[:, None])      # (L, Dmax) static
+        valid = np.broadcast_to(valid_np[:, None, :], (L, Q, Dmax))
+        root, _ = merkle_path(
+            digest,
+            idx_paths.reshape(L * Q),
+            fold_sibs.reshape(L * Q, Dmax, 4),
+            jnp.asarray(valid.reshape(L * Q, Dmax).T),
+            permute=permute,
+        )
+        roots = root.reshape(L, Q, 4)
+        if phase_commits.lo.ndim == 2:      # (L, 4): shared across queries
+            want = GL(phase_commits.lo[:, None, :],
+                      phase_commits.hi[:, None, :])
+        else:                               # (L, Q, 4): per-lane (batched)
+            want = phase_commits
+        ok = jnp.all(gl.eq(roots, want), axis=(0, -1))  # (Q,) bool
+
         fp = gl2.broadcast_to(final_poly, (Q,))
         per_q = gl2.eq(folded_eval, fp) & ok           # (Q,) bool
         if record:
-            e0s = gl2.concat([g[0] for g in leaves])   # (L, Q) ext
-            e1s = gl2.concat([g[1] for g in leaves])
             return per_q, e0s, e1s
         return per_q
 
@@ -627,12 +713,9 @@ class TpuVerifier:
         if self.s2w:
             commits.append(t["stage2_commit"])
         commits.append(t["quotient_commit"])
-        merkle_ok = None
-        for b, commit in enumerate(commits):
-            okb = self._s_batch(
-                index, w["batch_values"][b], w["batch_sibs"][b], commit
-            )
-            merkle_ok = okb if merkle_ok is None else (merkle_ok & okb)
+        merkle_ok = self._s_batch_all(
+            index, tuple(w["batch_values"]), tuple(w["batch_sibs"]),
+            tuple(commits))
         merkle_all_ok = jnp.all(merkle_ok)
 
         ro_stack = self._s_ro(
