@@ -6,8 +6,11 @@ Re-expresses the reference's circuit-emission verifier
   * the Fiat-Shamir transcript runs as ONE lax.scan over duplex steps
     (static schedule from a trace-time symbolic challenger replay);
   * the 100-query work - Merkle batch openings, reduced-opening
-    accumulation, FRI fold - is vectorized over the query axis and scanned
-    over levels (verifier.rs:266-344, 419-519);
+    accumulation, FRI fold - is vectorized over the query axis, with the
+    hash work of ALL commitment batches / ALL fold levels fused into one
+    wide dispatch each (_batch_all_fn, _fold_core: the serial permutation
+    chain is 1+depth, not batches*(1+depth)) (verifier.rs:266-344,
+    419-519);
   * every `connect` becomes an equality check folded into a verdict.
 
 Compile-cost discipline: XLA compile time is superlinear in module size on
