@@ -28,6 +28,7 @@ they depend only on the proof shape, never on proof values.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict
 
@@ -48,6 +49,13 @@ from .refimpl.domains import TwoAdicMultiplicativeCoset
 from .refimpl.field import Gl
 from .utils.bits import log2_strict
 from .witness import fold_valid_mask, pack_witness
+
+# Crossover between the fold stage's two path-walk shapes (see
+# _fold_core): at or below this many (level × query) lanes the fused
+# uniform-depth walk wins (shortest serial chain); above it the stage is
+# VPU-saturated and the depth-grouped walk's fewer masked lanes win.
+_FOLD_WIDE_MAX_LANES = int(os.environ.get("P25_FOLD_WIDE_MAX_LANES",
+                                          str(1 << 14)))
 
 
 @dataclass
@@ -539,6 +547,17 @@ class TpuVerifier:
         two-phase form cuts the serial hash chain to 1 + L permutations
         at L× the lane width; field values are identical.
 
+        Phase B has two shapes, chosen by lane count at trace time: the
+        fused uniform-depth walk (serial chain 1+L) pads every level's
+        path to depth L, masking ~30% of its permutation lanes — optimal
+        while the stage is dispatch/latency-bound, pure waste once the
+        VPU is saturated.  Past _FOLD_WIDE_MAX_LANES total lanes the
+        walk reverts to depth-GROUPED padding (level pairs padded to the
+        pair's own max depth: 24 compress lanes per query instead of 36,
+        serial chain 1+Σgroup depths) — the op-efficient shape for the
+        B·Q-flattened batch pipeline.  Override the crossover with env
+        P25_FOLD_WIDE_MAX_LANES.
+
         The interpolation denominator 1/(xs1-xs0) = ±1/(2x) comes from a
         CARRIED inverse: inv_x = g^{-rev(idx)} via the same masked-product
         pow as x, then squared alongside x each level — two base-field muls
@@ -584,7 +603,7 @@ class TpuVerifier:
         # e0s/e1s: GL2 (L, Q)
 
         # leaf row = [e0.c0, e0.c1, e1.c0, e1.c1] (verifier.rs:471-481);
-        # all L levels hash as one (L·Q)-lane batch
+        # all L levels hash as one (L·Q)-lane batch in both walk shapes
         leaf = gl.stack([e0s.c0, e0s.c1, e1s.c0, e1s.c1], axis=-1)  # (L,Q,4)
         digest = hash_rows(leaf.reshape(L * Q, 4), permute)
 
@@ -592,23 +611,49 @@ class TpuVerifier:
         shifts = jnp.arange(1, L + 1, dtype=jnp.uint32)[:, None]
         idx_paths = jnp.asarray(index, jnp.uint32)[None, :] >> shifts
         Dmax = fold_sibs.shape[-2]
-        valid_np = (np.arange(Dmax)[None, :]
-                    < (L - np.arange(L))[:, None])      # (L, Dmax) static
-        valid = np.broadcast_to(valid_np[:, None, :], (L, Q, Dmax))
-        root, _ = merkle_path(
-            digest,
-            idx_paths.reshape(L * Q),
-            fold_sibs.reshape(L * Q, Dmax, 4),
-            jnp.asarray(valid.reshape(L * Q, Dmax).T),
-            permute=permute,
-        )
-        roots = root.reshape(L, Q, 4)
-        if phase_commits.lo.ndim == 2:      # (L, 4): shared across queries
-            want = GL(phase_commits.lo[:, None, :],
-                      phase_commits.hi[:, None, :])
-        else:                               # (L, Q, 4): per-lane (batched)
-            want = phase_commits
-        ok = jnp.all(gl.eq(roots, want), axis=(0, -1))  # (Q,) bool
+
+        if L * Q <= _FOLD_WIDE_MAX_LANES:
+            valid_np = (np.arange(Dmax)[None, :]
+                        < (L - np.arange(L))[:, None])  # (L, Dmax) static
+            valid = np.broadcast_to(valid_np[:, None, :], (L, Q, Dmax))
+            root, _ = merkle_path(
+                digest,
+                idx_paths.reshape(L * Q),
+                fold_sibs.reshape(L * Q, Dmax, 4),
+                jnp.asarray(valid.reshape(L * Q, Dmax).T),
+                permute=permute,
+            )
+            roots = root.reshape(L, Q, 4)
+            if phase_commits.lo.ndim == 2:  # (L, 4): shared across queries
+                want = GL(phase_commits.lo[:, None, :],
+                          phase_commits.hi[:, None, :])
+            else:                           # (L, Q, 4): per-lane (batched)
+                want = phase_commits
+            ok = jnp.all(gl.eq(roots, want), axis=(0, -1))  # (Q,)
+        else:
+            digests = digest.reshape(L, Q, 4)
+
+            def walk_body(ok, xs):
+                commit, dig, idxp, sibs, v = xs
+                root, _ = merkle_path(dig, idxp, sibs, v, permute=permute)
+                ok &= jnp.all(
+                    gl.eq(root, gl.broadcast_to(commit, root.shape)),
+                    axis=-1)
+                return ok, None
+
+            ok = jnp.ones((Q,), bool)
+            GROUP = 2
+            for l0 in range(0, L, GROUP):
+                l1 = min(l0 + GROUP, L)
+                dmax = L - l0              # deepest path in this group
+                xs = (
+                    phase_commits[l0:l1],
+                    digests[l0:l1],
+                    idx_paths[l0:l1],
+                    fold_sibs[l0:l1][:, :, :dmax],
+                    jnp.asarray(self.fold_valid[l0:l1, :dmax]),
+                )
+                ok, _ = jax.lax.scan(walk_body, ok, xs)
 
         fp = gl2.broadcast_to(final_poly, (Q,))
         per_q = gl2.eq(folded_eval, fp) & ok           # (Q,) bool
