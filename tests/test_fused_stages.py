@@ -151,3 +151,42 @@ def test_merkle_path_per_lane_valid():
     for q in range(Q):
         node = levels[depths[q]][int(idxs[q]) >> int(depths[q])]
         assert root_lo[q].tolist() == np.asarray(node.lo).tolist()
+
+
+def test_fold_grouped_variant_matches_wide():
+    """Both fold path-walk shapes (fused uniform-depth / depth-grouped)
+    accept the golden proof and reject a sibling tamper identically."""
+    import plonky25_tpu.verifier as V
+    from plonky25_tpu import FriConfig, load_proof
+    from plonky25_tpu.models import FibonacciAir
+    from plonky25_tpu.proof import derive_config
+    from plonky25_tpu.witness import pack_witness
+
+    proof = load_proof("/root/reference/artifacts/proof_fibonacci.json")
+    fc = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    v = _get_verifier()
+    w = pack_witness(proof, derive_config(proof, fc))
+    t = v._s_transcript(w["obs"])
+    ro = v._s_ro(
+        t["index"], t["zeta"], t["zeta_next"], t["alpha_fri"],
+        tuple(w["batch_values"]),
+        w["trace_local"], w["trace_next"], w["quotient_chunks"],
+    )
+    args = (t["index"], t["phase_commits"], t["betas_stack"],
+            w["fold_sibling_values"], ro, w["fold_sibs"], w["final_poly"])
+    lo = np.asarray(w["fold_sibs"].lo).copy()
+    lo[2, 5, 1, 0] ^= 1
+    from plonky25_tpu.fields.goldilocks import GL
+    bad_sibs = GL(jnp.asarray(lo), w["fold_sibs"].hi)
+    bad_args = args[:5] + (bad_sibs,) + args[6:]
+
+    old = V._FOLD_WIDE_MAX_LANES
+    try:
+        V._FOLD_WIDE_MAX_LANES = 1 << 30      # force fused wide walk
+        assert bool(np.asarray(v._fold_fn(*args)))
+        assert not bool(np.asarray(v._fold_fn(*bad_args)))
+        V._FOLD_WIDE_MAX_LANES = -1           # force depth-grouped walk
+        assert bool(np.asarray(v._fold_fn(*args)))
+        assert not bool(np.asarray(v._fold_fn(*bad_args)))
+    finally:
+        V._FOLD_WIDE_MAX_LANES = old
