@@ -168,3 +168,69 @@ def test_multihost_verifier_multistage(rlc_proof):
     ok_b, all_ok = mv.verify([proof, proof])
     assert np.asarray(ok_b).tolist() == [True, True]
     assert bool(np.asarray(all_ok))
+
+
+def _mutation_sites(node, path=()):
+    """All (path, kind) mutation sites in a JSON tree (mirrors
+    test_errors_profiling's single-stage fuzz)."""
+    if isinstance(node, dict):
+        for k, v in node.items():
+            yield from _mutation_sites(v, path + (k,))
+    elif isinstance(node, list):
+        if node:
+            yield (path, "del")
+        for i, v in enumerate(node):
+            yield from _mutation_sites(v, path + (i,))
+    elif isinstance(node, int):
+        yield (path, "bump")
+
+
+def _apply_mut(obj, path, kind):
+    node = obj
+    for key in path[:-1]:
+        node = node[key]
+    if kind == "del":
+        node[path[-1]] = node[path[-1]][:-1]
+    else:
+        node[path[-1]] = node[path[-1]] + 1
+
+
+def test_multistage_structural_fuzz(rlc_proof):
+    """Every sampled single-field mutation of a multi-stage proof's JSON
+    either fails shape validation or verifies False on the device
+    verifier — never an uncaught exception (extends the single-stage
+    fuzz of test_errors_profiling to the stage-2 fields)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from plonky25_tpu.verifier import verify_proof
+
+    proof, _ = rlc_proof
+    base = proof_to_json(proof)
+    sites = list(_mutation_sites(base))
+    # bias toward stage-2 structure: every site whose path mentions the
+    # stage-2 fields, plus a stride sample of the rest
+    s2 = [s for s in sites if any("stage2" in str(k) for k in s[0])]
+    rest = [s for s in sites if s not in s2]
+    stride = max(1, len(rest) // 40)
+    sample = s2[:40] + rest[::stride]
+
+    air = RlcAir()
+    n_shape = n_value = 0
+    for path, kind in sample:
+        mutant = copy.deepcopy(base)
+        _apply_mut(mutant, path, kind)
+        try:
+            p = proof_from_json(mutant)
+        except Exception:
+            n_shape += 1
+            continue
+        r = verify_proof(p, air, FC)
+        if not r.shape_ok:
+            n_shape += 1
+        else:
+            assert not bool(jnp.asarray(r.ok)), (
+                f"multistage mutant {kind} at {path} verified OK")
+            n_value += 1
+    assert n_shape > 0 and n_value > 0
