@@ -400,3 +400,34 @@ def test_forged_schedule_breaks_accumulator(schedule_parts, small_proof):
     # and the canonical accumulators differ under EITHER gamma
     assert (ap.fold_accumulator(forged_rows, gamma)
             != ap.fold_accumulator(rows, gamma))
+
+
+@pytest.mark.slow
+def test_golden_attestation_artifact_cold():
+    """Load the committed golden attestation (generated on TPU by
+    scripts/make_golden_attestation.py) and check it cold — the
+    cross-process analogue of the reference persisting its output proof
+    (src/p3/mod.rs:261).  Skips until the artifact is generated."""
+    import os
+
+    import pytest as _pytest
+
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "attestation_fibonacci.json")
+    if not os.path.exists(path):
+        _pytest.skip("golden attestation artifact not yet generated")
+    from plonky25_tpu import FriConfig, load_proof
+    from plonky25_tpu.attest import check_attestation, load_bundle
+    from plonky25_tpu.models import FibonacciAir
+
+    bundle = load_bundle(path)
+    proof = load_proof("/root/reference/artifacts/proof_fibonacci.json")
+    fc = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    assert check_attestation(bundle, proof, FibonacciAir(), fc,
+                             use_device_verifier=False)
+    # binding: the same bundle must NOT check against a different proof
+    import copy
+    other = copy.deepcopy(proof)
+    other.opening_proof.fri_proof.pow_witness += 1
+    assert not check_attestation(bundle, other, FibonacciAir(), fc,
+                                 use_device_verifier=False)
