@@ -3,7 +3,7 @@
     python scripts/attest_bench.py [--small]
 
 Builds the verification hash-trace of artifacts/proof_fibonacci.json
-(~4.3k Poseidon2 permutations -> 8192 x 522 HashChainAir trace), proves it
+(hash rows + algebra FMA rows -> VerifierAir trace, 617 cols), proves it
 with the TpuProver, and checks the bundle with the device verifier.
 `--small` runs a reduced fib(8)/2-query workload first (quick smoke).
 """
@@ -34,7 +34,7 @@ def run(proof, fc, att_fc, label):
     bundle = attest(proof, FibonacciAir(), fc, att_fri_config=att_fc)
     t_att = time.time() - t0
     print(f"{label}: attest {t_att:.1f}s "
-          f"(stark 2^{bundle.stark.degree_bits} x 522, "
+          f"(stark 2^{bundle.stark.degree_bits} x 617, "
           f"{bundle.n_rows} active rows)", flush=True)
     t0 = time.time()
     ok = check_attestation(bundle, proof, FibonacciAir(), fc)
@@ -58,7 +58,7 @@ def run_many(n: int):
     bundle = attest_many(proofs, FibonacciAir(), fc, att_fri_config=att_fc)
     t_att = time.time() - t0
     print(f"many({n}): attest {t_att:.1f}s "
-          f"(stark 2^{bundle.stark.degree_bits} x 522, "
+          f"(stark 2^{bundle.stark.degree_bits} x 617, "
           f"{bundle.n_rows} rows, {n / t_att:.2f} verifications "
           "attested/s)", flush=True)
     t0 = time.time()
