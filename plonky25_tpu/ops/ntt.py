@@ -63,27 +63,32 @@ def _stage_twiddles(log_n: int, s: int, inverse: bool) -> GL:
     return gl.from_u64(list(tab[::stride][:m]))
 
 
-def _ntt_flat(x: GL, inverse: bool = False, scale: bool = True) -> GL:
-    """Radix-2 DIT NTT along the last axis (small/medium sizes).
+def _ntt_flat(x: GL, inverse: bool = False, scale: bool = True,
+              in_bitrev: bool = False) -> GL:
+    """Radix-2 DIT (Cooley-Tukey) NTT along the last axis.
 
-    Natural order in, natural order out.  inverse=True computes the
-    inverse transform; `scale` controls the 1/N factor (the six-step
-    driver applies one combined scale instead).
+    Natural order in (or, with in_bitrev=True, bit-reversed order in —
+    skipping the input gather), natural order out.  inverse=True
+    computes the inverse transform; `scale` controls the 1/N factor
+    (the six-step driver applies one combined scale instead).
 
     Gather-free butterflies: stage s views the axis as (N/2m, 2m) and
     splits the halves by a static slice, so each stage is
     reshape + slice + mul/add + concat — regular data movement the TPU
     handles at full bandwidth.  (A scan with per-stage index gathers ran
     20 full-length gathers at N=2^20 and was ~40x slower.)  Only the
-    initial bit-reversal remains one host-precomputed gather.  The
-    Python stage loop stays at log2(N) small traced bodies."""
+    initial bit-reversal remains one host-precomputed gather — and
+    in_bitrev=True removes even that when the producer already emits
+    bit-reversed order (see coset_lde's DIF/DIT pairing).  The Python
+    stage loop stays at log2(N) small traced bodies."""
     n = x.shape[-1]
     log_n = log2_strict(n)
     if log_n == 0:
         return x  # 1/N = 1
 
-    rev = jnp.asarray(_bitrev_host(log_n), jnp.int32)
-    x = x[..., rev]
+    if not in_bitrev:
+        rev = jnp.asarray(_bitrev_host(log_n), jnp.int32)
+        x = x[..., rev]
     batch = x.shape[:-1]
 
     for s in range(log_n):
@@ -107,6 +112,32 @@ def _ntt_flat(x: GL, inverse: bool = False, scale: bool = True) -> GL:
     if inverse and scale:
         n_inv = Gl.inv(n % P)
         x = gl.mul(gl.full((), n_inv), x)
+    return x
+
+
+def _ntt_flat_dif(x: GL, inverse: bool = False) -> GL:
+    """Radix-2 DIF (Gentleman-Sande) NTT along the last axis: natural
+    order in, BIT-REVERSED order out, no gather anywhere —
+    _ntt_flat_dif(x)[rev(k)] = _ntt_flat(x)[k].  Runs the DIT stages in
+    reverse with the dual butterfly (e, o) -> (e + o, (e - o)·w), same
+    per-stage twiddle tables.  The 1/N factor of an inverse transform is
+    NOT applied (callers fold it into their output scale)."""
+    n = x.shape[-1]
+    log_n = log2_strict(n)
+    batch = x.shape[:-1]
+
+    for s in reversed(range(log_n)):
+        m = 1 << s
+        tw = _stage_twiddles(log_n, s, inverse)          # (m,)
+        a = x.reshape(*batch, n // (2 * m), 2 * m)
+        e = a[..., :m]
+        o = a[..., m:]
+        plus = gl.add(e, o)
+        diff = gl.mul(tw, gl.sub(e, o))
+        x = GL(
+            jnp.concatenate([plus.lo, diff.lo], axis=-1).reshape(*batch, n),
+            jnp.concatenate([plus.hi, diff.hi], axis=-1).reshape(*batch, n),
+        )
     return x
 
 
@@ -213,14 +244,93 @@ def coset_ntt(coeffs: GL, shift: int) -> GL:
     return ntt(gl.mul(gl.from_u64(pw), coeffs))
 
 
+@lru_cache(maxsize=None)
+def _lde_scale_rev_host(log_n: int, in_shift: int, out_shift: int) -> tuple:
+    """Combined LDE coefficient scale in BIT-REVERSED position order:
+    position j holds coeff k = rev(j), scaled by 1/N · (out/in)^k (the
+    1/N of the inverse transform + in_shift^-k de-coset + out_shift^k
+    re-coset, two_adic.rs:61-71)."""
+    n = 1 << log_n
+    ratio = out_shift % P * Gl.inv(in_shift % P) % P
+    inv_n = Gl.inv(n % P)
+    return tuple(inv_n * pow(ratio, r, P) % P for r in _bitrev_host(log_n))
+
+
+def coset_lde_pair(evals: GL, in_shift: int, log_blowup: int,
+                   out_shift: int = 7) -> GL:
+    """Low-degree extend evals on in_shift*<g_N> to
+    out_shift*<g_{N·2^log_blowup}> with NO bit-reversal gathers.
+
+    DIF/DIT decimation pairing: the inverse transform runs
+    Gentleman-Sande (natural in -> bit-reversed coefficients, no
+    gather); the coset/1-over-N scale table is permuted on the HOST to
+    bit-reversed positions; zero-padding in the big transform's
+    bit-reversed layout is a zero-INTERLEAVE (coeff k sits at
+    rev_small(k)·2^blowup — a reshape+concat, no gather); the forward
+    transform runs Cooley-Tukey consuming bit-reversed input directly.
+    The two full-length bit-reversal gathers of the
+    intt -> pad -> coset_ntt formulation vanish (VERDICT r2 weak #2's
+    'work in bit-reversed layout end-to-end' lever).  Above the
+    six-step threshold the natural-order path is kept (the six-step
+    factorization needs natural layout)."""
+    n = evals.shape[-1]
+    log_n = log2_strict(n)
+    n_big = n << log_blowup
+    if n_big >= (1 << SIX_STEP_MIN_LOG) or log_blowup == 0:
+        coeffs = coset_intt(evals, in_shift)
+        pad = gl.zeros(evals.shape[:-1] + (n_big - n,))
+        return coset_ntt(gl.concatenate([coeffs, pad], axis=-1), out_shift)
+    c_rev = _ntt_flat_dif(evals, inverse=True)           # bitrev, N-scaled
+    sc = gl.from_u64(list(_lde_scale_rev_host(log_n, in_shift, out_shift)))
+    c_rev = gl.mul(sc, c_rev)
+    blow = 1 << log_blowup
+    batch = evals.shape[:-1]
+    v = c_rev.reshape(*batch, n, 1)
+    z = gl.zeros(batch + (n, blow - 1))
+    big = gl.concatenate([v, z], axis=-1).reshape(*batch, n_big)
+    return _ntt_flat(big, in_bitrev=True)
+
+
 def coset_lde(evals: GL, log_blowup: int, shift: int = 7) -> GL:
     """Low-degree extend evaluations on <g_N> to the coset
     shift * <g_{N * 2^log_blowup}> (the reference's disjoint-domain shift
     7, two_adic.rs:61-71)."""
+    return coset_lde_pair(evals, 1, log_blowup, shift)
+
+
+@lru_cache(maxsize=None)
+def _coset_ratio_host(log_n: int, in_shift: int, out_shift: int) -> tuple:
+    """(out/in)^k for k in [N] as python ints (natural order)."""
+    n = 1 << log_n
+    ratio = out_shift % P * Gl.inv(in_shift % P) % P
+    out = [1] * n
+    for i in range(1, n):
+        out[i] = out[i - 1] * ratio % P
+    return tuple(out)
+
+
+def coset_lde_to_rev(evals: GL, in_shift: int, log_blowup: int,
+                     out_shift: int = 7) -> GL:
+    """coset_lde_pair with BIT-REVERSED output order — the Merkle commit
+    layout (plonky3 commits LDE rows bit-reversed; utils.rs:20-43).
+
+    The forward transform runs DIF (natural coefficients in,
+    bit-reversed evaluations out), so the output permutation is free and
+    the big transform is gather-free; the only gather left is the
+    inverse transform's SMALL (pre-blowup) input reversal.  Equals
+    coset_ntt(pad(coset_intt(evals, in)), out)[bitrev]."""
     n = evals.shape[-1]
-    coeffs = intt(evals)
-    pad = gl.zeros(evals.shape[:-1] + (n * (1 << log_blowup) - n,))
-    return coset_ntt(gl.concatenate([coeffs, pad], axis=-1), shift)
+    log_n = log2_strict(n)
+    n_big = n << log_blowup
+    if n_big >= (1 << SIX_STEP_MIN_LOG):
+        out = coset_lde_pair(evals, in_shift, log_blowup, out_shift)
+        rev = jnp.asarray(_bitrev_host(log_n + log_blowup), jnp.int32)
+        return out[..., rev]
+    coeffs = _ntt_flat(evals, inverse=True)              # incl. 1/N
+    sc = gl.from_u64(list(_coset_ratio_host(log_n, in_shift, out_shift)))
+    coeffs = gl.mul(sc, coeffs)
+    pad = gl.zeros(evals.shape[:-1] + (n_big - n,))
+    return _ntt_flat_dif(gl.concatenate([coeffs, pad], axis=-1))
 
 
 def ntt_four_step(x: GL, inverse: bool = False) -> GL:

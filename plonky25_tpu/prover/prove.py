@@ -24,7 +24,8 @@ from ..fields import gl, gl2
 from ..fields.extension import GL2
 from ..fields.goldilocks import GL
 from ..ops.mmcs import DeviceMerkleTree
-from ..ops.ntt import coset_intt, coset_ntt, barycentric_eval_ext
+from ..ops.ntt import (barycentric_eval_ext, coset_intt, coset_lde_pair,
+                       coset_lde_to_rev, coset_ntt)
 from ..ops.poseidon2 import poseidon2_permute
 from ..ops.sponge import hash_rows  # noqa: F401 (re-export convenience)
 from ..proof import (
@@ -117,19 +118,23 @@ class TpuProver:
     # ------------------------------------------------------------ stages
     def _commit_trace_fn(self, cols: GL):
         """cols (W, H) on <g_n> -> bit-reversed LDE rows (N, W)."""
-        n_lde = 1 << self.log_max
-        coeffs = coset_intt(cols, 1)
-        pad = gl.zeros((self.width, n_lde - (1 << self.log_n)))
-        cpad = gl.concatenate([coeffs, pad], axis=-1)
         if self.lde_mesh is not None:
+            n_lde = 1 << self.log_max
+            coeffs = coset_intt(cols, 1)
+            pad = gl.zeros((self.width, n_lde - (1 << self.log_n)))
+            cpad = gl.concatenate([coeffs, pad], axis=-1)
             from ..ops.ntt import coset_ntt_four_step
 
             lde = coset_ntt_four_step(
                 cpad, 7, log_rows=self.lde_log_rows,
                 mesh=self.lde_mesh, axis=self.lde_mesh.axis_names[0])
+            lde = lde[:, _bitrev_idx(self.log_max)]
         else:
-            lde = coset_ntt(cpad, 7)                    # (W, N)
-        lde = lde[:, _bitrev_idx(self.log_max)]
+            # DIF forward emits the Merkle layout directly (one small
+            # input gather instead of two full-length ones + the output
+            # reversal; ops/ntt.py coset_lde_to_rev)
+            lde = coset_lde_to_rev(
+                cols, 1, self.log_max - self.log_n)     # (W, N) bitrev
         return GL(lde.lo.T, lde.hi.T)  # (N, W)
 
     def _quotient_fn(self, cols: GL, alpha: GL2, publics=None):
@@ -138,10 +143,8 @@ class TpuProver:
         values, a runtime input (see verifier._publics_device)."""
         q_size = 1 << self.q_log_n
         h = 1 << self.log_n
-        coeffs = coset_intt(cols, 1)
-        pad = gl.zeros((self.width, q_size - h))
-        cpad = gl.concatenate([coeffs, pad], axis=-1)
-        locals_ = coset_ntt(cpad, 7)                      # (W, q)
+        locals_ = coset_lde_pair(
+            cols, 1, self.q_log_n - self.log_n)           # (W, q)
         # nexts on the quotient coset are a ROTATION of locals: with
         # g_t = g_q^(2^lqd), p(g_t * 7 * g_q^j) = locals[(j + 2^lqd) % q]
         # — no second full-width NTT and no second (W, q) array (the
@@ -241,11 +244,8 @@ class TpuProver:
         for ci in range(self.n_chunks):
             ev = q_evals[ci::self.n_chunks]               # (q/ch,) ext
             cols = gl.stack([ev.c0, ev.c1])               # (D, q/ch)
-            coeffs = coset_intt(cols, self.chunk_shifts[ci])
-            n_lde = 1 << l
-            pad = gl.zeros((EXT_DEGREE, n_lde - cols.shape[-1]))
-            lde = coset_ntt(gl.concatenate([coeffs, pad], axis=-1), 7)
-            lde = lde[:, _bitrev_idx(l)]
+            blow = l - log2_strict(cols.shape[-1])
+            lde = coset_lde_to_rev(cols, self.chunk_shifts[ci], blow)
             rows_per_chunk.append(GL(lde.lo.T, lde.hi.T))  # (2^l, D)
         return GL(
             jnp.concatenate([r.lo for r in rows_per_chunk], axis=-1),

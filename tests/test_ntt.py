@@ -192,3 +192,67 @@ def test_six_step_matches_flat_large():
     assert np.array_equal(a, b)
     rt = to_u64_np(nttmod.ntt(nttmod.ntt(x), inverse=True))
     assert np.array_equal(rt, to_u64_np(x))
+
+
+def test_dif_dit_pairing_identities():
+    """Gentleman-Sande DIF output is the bit-reversed DIT output; DIT
+    with in_bitrev=True consumes it back (the gather-free LDE basis)."""
+    import random
+
+    import numpy as np
+
+    from plonky25_tpu.constants import GOLDILOCKS_P as P
+    from plonky25_tpu.fields import gl
+    from plonky25_tpu.fields.goldilocks import to_u64_np
+    from plonky25_tpu.ops.ntt import _bitrev_host, _ntt_flat, _ntt_flat_dif
+    from plonky25_tpu.refimpl.field import Gl
+
+    rng = random.Random(11)
+    for log_n in (1, 3, 6, 9):
+        n = 1 << log_n
+        xs = np.array([[rng.randrange(P) for _ in range(n)]
+                       for _ in range(2)], dtype=np.uint64)
+        x = gl.from_u64(xs)
+        rev = list(_bitrev_host(log_n))
+        for inv in (False, True):
+            a = to_u64_np(_ntt_flat(x, inverse=inv))
+            d = to_u64_np(_ntt_flat_dif(x, inverse=inv))[..., rev]
+            if inv:
+                d = (d.astype(object) * Gl.inv(n % P) % P).astype(np.uint64)
+            assert (a == d).all(), (log_n, inv)
+        xr = gl.from_u64(xs[..., rev])
+        assert (to_u64_np(_ntt_flat(xr, in_bitrev=True))
+                == to_u64_np(_ntt_flat(x))).all(), log_n
+
+
+def test_gather_free_lde_equivalence():
+    """coset_lde_pair / coset_lde_to_rev equal the intt->pad->coset_ntt
+    formulation (and its bit-reversed readout) bit-exactly."""
+    import random
+
+    import numpy as np
+
+    from plonky25_tpu.constants import GOLDILOCKS_P as P
+    from plonky25_tpu.fields import gl
+    from plonky25_tpu.fields.goldilocks import to_u64_np
+    from plonky25_tpu.ops.ntt import (
+        _bitrev_host,
+        coset_intt,
+        coset_lde_pair,
+        coset_lde_to_rev,
+        coset_ntt,
+    )
+
+    rng = random.Random(12)
+    for log_n, blow, ins in [(3, 1, 1), (6, 2, 1), (8, 1, 7), (5, 3, 49)]:
+        n = 1 << log_n
+        xs = np.array([[rng.randrange(P) for _ in range(n)]
+                       for _ in range(2)], dtype=np.uint64)
+        x = gl.from_u64(xs)
+        coeffs = coset_intt(x, ins)
+        pad = gl.zeros((2, (n << blow) - n))
+        nat = to_u64_np(coset_ntt(gl.concatenate([coeffs, pad], axis=-1), 7))
+        assert (to_u64_np(coset_lde_pair(x, ins, blow, 7)) == nat).all()
+        want_rev = nat[..., list(_bitrev_host(log_n + blow))]
+        assert (to_u64_np(coset_lde_to_rev(x, ins, blow, 7))
+                == want_rev).all()
