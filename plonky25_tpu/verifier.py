@@ -827,6 +827,11 @@ def get_verifier(air: Air, config: P3Config) -> TpuVerifier:
         config.opening_matrix_log_max_height, config.quotient_opened_values_len,
         config.degree_bits, config.fri_config.log_blowup,
         config.fri_config.num_queries, config.fri_config.proof_of_work_bits,
+        # multi-stage dims: a single-stage and a multi-stage config agreeing
+        # on every field above must NOT share a compiled schedule (the
+        # transcript interleaves stage-2 observes/samples; VERDICT r3 #6)
+        config.stage2_width,
+        air.num_challenges() if config.stage2_width else 0,
     )
     v = _verifier_cache.get(key)
     if v is None:

@@ -170,6 +170,58 @@ def test_multihost_verifier_multistage(rlc_proof):
     assert bool(np.asarray(all_ok))
 
 
+class _FlexAir(RlcAir):
+    """Same name + dims in single- and multi-stage form (cache-key probe)."""
+
+    def __init__(self, two_stage: bool):
+        self.two_stage = two_stage
+
+    def name(self) -> str:
+        return "FlexRlc"
+
+    def stage2_width(self) -> int:
+        return 2 if self.two_stage else 0
+
+    def num_challenges(self) -> int:
+        return 1 if self.two_stage else 0
+
+    def eval(self, folder):
+        if self.two_stage:
+            return RlcAir.eval(self, folder)
+        ops = folder.ops
+        a, _ = folder.main.trace_local
+        an, _ = folder.main.trace_next
+        folder.when_transition().assert_eq(an, a)  # constant column a
+
+
+def test_verifier_cache_mixed_stage_order():
+    """A single-stage and a multi-stage proof agreeing on every other
+    config field must not share a cached verifier: warming the cache with
+    the single-stage shape first used to falsely reject the multi-stage
+    proof (get_verifier key omitted stage2_width; VERDICT r3 weak #6)."""
+    from plonky25_tpu.verifier import verify_proof
+
+    rng = random.Random(11)
+    trace1 = [[5, rng.randrange(1 << 63)] for _ in range(16)]
+    p1 = prove(_FlexAir(False), trace1, FC)
+    assert p1.commitments.stage2 is None
+
+    trace2 = [[rng.randrange(1 << 63), rng.randrange(1 << 63)]
+              for _ in range(16)]
+    p2 = prove(_FlexAir(True), trace2, FC)
+    cfg1, cfg2 = derive_config(p1, FC), derive_config(p2, FC)
+    assert (cfg1.log_trace_height, cfg1.trace_width,
+            cfg1.degree_bits) == (cfg2.log_trace_height, cfg2.trace_width,
+                                  cfg2.degree_bits)
+
+    # single-stage first warms the cache, then the multi-stage proof (and
+    # the single-stage again, in case the multi-stage entry overwrote it)
+    assert bool(verify_proof(p1, _FlexAir(False), FC).ok)
+    r2 = verify_proof(p2, _FlexAir(True), FC)
+    assert r2.shape_ok and bool(r2.ok)
+    assert bool(verify_proof(p1, _FlexAir(False), FC).ok)
+
+
 def _mutation_sites(node, path=()):
     """All (path, kind) mutation sites in a JSON tree (mirrors
     test_errors_profiling's single-stage fuzz)."""
