@@ -52,6 +52,30 @@ class RlcAir(Air):
             z1.append(z[1])
         return [z0, z1]
 
+    def build_stage2_device(self, cols, challenges):
+        """Device-resident stage-2 builder (TpuProver._stage2_cols): the
+        RLC recurrence as one lax.scan over rows — the sampled challenge
+        never syncs to host.  cols: GL (2, H); challenges: [GL2 scalar].
+        Returns GL (2, H), byte-equal to build_stage2."""
+        import jax
+
+        from ..fields import gl, gl2
+        from ..fields.extension import GL2
+        from ..fields.goldilocks import GL
+
+        gamma = challenges[0]
+
+        def body(z, ab):
+            a_i, b_i = ab
+            rlc = gl2.add_base(gl2.mul_base(gamma, b_i), a_i)
+            z = gl2.add(gl2.mul(gamma, z), rlc)
+            return z, z
+
+        a = GL(cols.lo[0], cols.hi[0])
+        b = GL(cols.lo[1], cols.hi[1])
+        _, zs = jax.lax.scan(body, gl2.zeros(()), (a, b))   # GL2 (H,)
+        return gl.stack([zs.c0, zs.c1])                     # (2, H)
+
     def eval(self, folder: VerifierConstraintFolder) -> None:
         ops = folder.ops
         gamma = folder.challenges[0]

@@ -70,11 +70,17 @@ class BatchProver:
                               quotient_eval_chunks=quotient_eval_chunks)
         b = self.base
         self._c_trace = jax.jit(jax.vmap(b._commit_trace_fn))
-        # publics broadcast across the batch (same-bundle batches)
-        self._quot = jax.jit(jax.vmap(b._quotient_fn, in_axes=(0, 0, None)))
+        # publics broadcast across the batch (same-bundle batches);
+        # stage-2 columns/challenges ride the proof axis (None-valued for
+        # single-stage airs: empty pytrees, any in_axes spec applies)
+        self._quot = jax.jit(jax.vmap(b._quotient_fn,
+                                      in_axes=(0, 0, None, 0, 0)))
         self._chunks = jax.jit(jax.vmap(b._commit_chunks_fn))
         self._opened = jax.jit(jax.vmap(b._opened_fn))
         self._ro = jax.jit(jax.vmap(b._ro_fn))
+        build_dev = getattr(b.air, "build_stage2_device", None)
+        self._stage2_v = (jax.jit(jax.vmap(build_dev, in_axes=(0, 0)))
+                          if b.s2w and build_dev is not None else None)
         # batched (not vmapped) trees: the proof axis flattens into the
         # permute batch so the fused Pallas kernel applies on TPU
         self._tree = _build_tree_batched
@@ -118,15 +124,22 @@ class BatchProver:
                 k //= 2
             return tuple(levels)
 
+        s2w = b.s2w
+        chs = [ze((B,)) for _ in range(b.n_challenges)]
+        s2c = z((B, s2w, H)) if s2w else None
         calls = [
             lambda: self._c_trace(z((B, W, H))),
             lambda: self._quot(z((B, W, H)), ze((B,)),
-                               {k: ze(()) for k in b.air.public_values()}),
+                               {k: ze(()) for k in b.air.public_values()},
+                               s2c, chs),
             lambda: self._chunks(ze((B, qsize))),
-            lambda: self._opened(z((B, W, H)), ze((B, qsize)), ze((B,))),
+            lambda: self._opened(z((B, W, H)), ze((B, qsize)), ze((B,)), s2c),
             lambda: self._ro(z((B, N, W)), z((B, 1 << l, b.n_chunks * EXT_DEGREE)),
                              ze((B, W)), ze((B, W)),
-                             ze((B, b.n_chunks, EXT_DEGREE)), ze((B,)), ze((B,))),
+                             ze((B, b.n_chunks, EXT_DEGREE)), ze((B,)), ze((B,)),
+                             z((B, N, s2w)) if s2w else None,
+                             ze((B, s2w)) if s2w else None,
+                             ze((B, s2w)) if s2w else None),
             lambda: self._grind_v(z((B, 11)), jnp.uint32(0)),
             lambda: self._tree(z((B, N, W))),
             lambda: self._tree(z((B, 1 << l, b.n_chunks * EXT_DEGREE))),
@@ -134,6 +147,9 @@ class BatchProver:
             lambda: _open_paths_v(levels_for(1 << l),
                                   jnp.zeros((B, Q), jnp.uint32)),
         ]
+        if s2w:
+            calls.append(lambda: self._c_trace(z((B, s2w, H))))
+            calls.append(lambda: self._tree(z((B, N, s2w))))
         for log_folded, (rows_v, step_v) in self._folds.items():
             m = 1 << log_folded
             calls.append(lambda f=rows_v, mm=m: f(ze((B, 2 * mm))))
@@ -184,20 +200,51 @@ class BatchProver:
         trace_rows = self._c_trace(cols)                       # (B, N, W)
         trace_levels = self._tree(trace_rows)
         ch.observe_many(trace_levels[-1][:, 0])                # roots (B, 4)
+
+        # stage 2: per-proof challenges (B,) ext, stage-2 columns on the
+        # proof axis, committed before alpha (prove.py stage-2 leg)
+        challenges_d = [ch.sample_ext() for _ in range(b.n_challenges)]
+        s2_cols = s2_rows = s2_levels = None
+        if b.s2w:
+            if self._stage2_v is not None:
+                s2_cols = self._stage2_v(cols, challenges_d)   # (B, s2w, H)
+            else:
+                chs_h = [list(zip(np.asarray(gl.to_u64_np(c.c0)),
+                                  np.asarray(gl.to_u64_np(c.c1))))
+                         for c in challenges_d]
+                rows_h = np.asarray(
+                    gl.to_u64_np(GL(cols.lo.transpose(0, 2, 1),
+                                    cols.hi.transpose(0, 2, 1))))
+                s2_h = [b.air.build_stage2(
+                            rows_h[bi].tolist(),
+                            [(int(c[bi][0]), int(c[bi][1])) for c in chs_h])
+                        for bi in range(B)]
+                s2_cols = gl.from_u64(np.asarray(s2_h, dtype=object))
+            s2_rows = self._c_trace(s2_cols)                   # (B, N, s2w)
+            s2_levels = self._tree(s2_rows)
+            ch.observe_many(s2_levels[-1][:, 0])
+
         alpha_d = ch.sample_ext()                              # (B,) ext
 
         from ..verifier import _publics_device
 
-        q_evals = self._quot(cols, alpha_d, _publics_device(b.air))
+        q_evals = self._quot(cols, alpha_d, _publics_device(b.air),
+                             s2_cols, challenges_d)
         q_rows = self._chunks(q_evals)
         q_levels = self._tree(q_rows)
         ch.observe_many(q_levels[-1][:, 0])
         zeta_d = ch.sample_ext()
 
-        tl, tn, qc = self._opened(cols, q_evals, zeta_d)
+        if b.s2w:
+            tl, tn, qc, s2l, s2n = self._opened(cols, q_evals, zeta_d,
+                                                s2_cols)
+        else:
+            tl, tn, qc = self._opened(cols, q_evals, zeta_d)
+            s2l = s2n = None
 
         alpha_fri_d = ch.sample_ext()
-        u = self._ro(trace_rows, q_rows, tl, tn, qc, zeta_d, alpha_fri_d)
+        u = self._ro(trace_rows, q_rows, tl, tn, qc, zeta_d, alpha_fri_d,
+                     s2_rows, s2l, s2n)
 
         phase_levels = []
         phase_vectors = []
@@ -240,6 +287,14 @@ class BatchProver:
         q_open = np.asarray(gl.to_u64_np(_gather_rows(q_rows, qidx)))
         trace_paths = np.asarray(gl.to_u64_np(_open_paths_v(trace_levels, qidx)))
         q_paths = np.asarray(gl.to_u64_np(_open_paths_v(q_levels, qidx)))
+        if b.s2w:
+            s2_open = np.asarray(gl.to_u64_np(_gather_rows(s2_rows, qidx)))
+            s2_paths = np.asarray(gl.to_u64_np(_open_paths_v(s2_levels, qidx)))
+            s2_roots = np.asarray(gl.to_u64_np(s2_levels[-1][:, 0]))
+            s2l_h = (np.asarray(gl.to_u64_np(s2l.c0)),
+                     np.asarray(gl.to_u64_np(s2l.c1)))
+            s2n_h = (np.asarray(gl.to_u64_np(s2n.c0)),
+                     np.asarray(gl.to_u64_np(s2n.c1)))
 
         fold_sibs, fold_paths = [], []
         idx_l = qidx
@@ -273,6 +328,14 @@ class BatchProver:
                         opening_proof=[[int(v) for v in sib]
                                        for sib in trace_paths[bi, qi]],
                     ),
+                ]
+                if b.s2w:
+                    batches.append(BatchOpening(
+                        opened_values=[[int(v) for v in s2_open[bi, qi]]],
+                        opening_proof=[[int(v) for v in sib]
+                                       for sib in s2_paths[bi, qi]],
+                    ))
+                batches.append(
                     BatchOpening(
                         opened_values=[
                             [int(q_open[bi, qi][ci * D + e]) for e in range(D)]
@@ -281,7 +344,7 @@ class BatchProver:
                         opening_proof=[[int(v) for v in sib]
                                        for sib in q_paths[bi, qi]],
                     ),
-                ]
+                )
                 query_openings.append(batches)
                 steps = []
                 for l in range(len(phase_levels)):
@@ -298,6 +361,9 @@ class BatchProver:
                     trace=Commitment(value=[int(v) for v in trace_roots[bi]]),
                     quotient_chunks=Commitment(
                         value=[int(v) for v in q_roots[bi]]),
+                    stage2=(Commitment(
+                        value=[int(v) for v in s2_roots[bi]])
+                        if b.s2w else None),
                 ),
                 opened_values=OpenedValues(
                     trace_local=[(int(tl_h[0][bi, i]), int(tl_h[1][bi, i]))
@@ -309,6 +375,10 @@ class BatchProver:
                          for e in range(D)]
                         for ci in range(b.n_chunks)
                     ],
+                    stage2_local=([(int(s2l_h[0][bi, i]), int(s2l_h[1][bi, i]))
+                                   for i in range(b.s2w)] if b.s2w else None),
+                    stage2_next=([(int(s2n_h[0][bi, i]), int(s2n_h[1][bi, i]))
+                                  for i in range(b.s2w)] if b.s2w else None),
                 ),
                 opening_proof=TwoAdicFriPcsProof(
                     fri_proof=FriProof(
@@ -336,7 +406,7 @@ def prove_batch_on_device(air: Air, traces: List[List[List[int]]],
     log_n = log2_strict(len(traces[0]))
     key = (air.name(), air.width(), log_n, fri_config.log_blowup,
            fri_config.num_queries, fri_config.proof_of_work_bits,
-           quotient_eval_chunks)
+           quotient_eval_chunks, air.stage2_width(), air.num_challenges())
     p = _batch_prover_cache.get(key)
     if p is None:
         p = BatchProver(air, log_n, fri_config,

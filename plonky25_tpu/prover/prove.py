@@ -24,8 +24,8 @@ from ..fields import gl, gl2
 from ..fields.extension import GL2
 from ..fields.goldilocks import GL
 from ..ops.mmcs import DeviceMerkleTree
-from ..ops.ntt import (barycentric_eval_ext, coset_intt, coset_lde_pair,
-                       coset_lde_to_rev, coset_ntt)
+from ..ops.ntt import (_ntt_flat, barycentric_eval_ext, coset_intt,
+                       coset_lde_pair, coset_lde_to_rev, coset_ntt)
 from ..ops.poseidon2 import poseidon2_permute
 from ..ops.sponge import hash_rows  # noqa: F401 (re-export convenience)
 from ..proof import (
@@ -60,7 +60,8 @@ def _ext_pull(x: GL2):
 
 
 class _MainVec:
-    def __init__(self, local_vec, next_vec, width):
+    def __init__(self, local_vec, next_vec, width,
+                 stage2_local_vec=None, stage2_next_vec=None, s2w=0):
         self.local_vec = local_vec
         self.next_vec = next_vec
         # per-column views for narrow AIRs (Fibonacci-style eval)
@@ -70,6 +71,11 @@ class _MainVec:
         else:
             self.trace_local = None
             self.trace_next = None
+        if s2w:
+            self.stage2_local_vec = stage2_local_vec
+            self.stage2_next_vec = stage2_next_vec
+            self.stage2_local = [stage2_local_vec[i] for i in range(s2w)]
+            self.stage2_next = [stage2_next_vec[i] for i in range(s2w)]
         self.quotient_chunks = []
 
 
@@ -96,6 +102,11 @@ class TpuProver:
         self.lde_log_rows = lde_log_rows
         self.quotient_eval_chunks = quotient_eval_chunks
         self.width = air.width()
+        # multi-stage AIRs: a challenge-sampled second commitment between
+        # the trace and quotient commits (air.py; refimpl/prover.py:127-140
+        # is the executable spec this path is byte-equal to)
+        self.s2w = air.stage2_width()
+        self.n_challenges = air.num_challenges()
         self.lqd = log2_ceil(getattr(air, "quotient_degree", lambda: 1)())
         self.n_chunks = 1 << self.lqd
         self.q_log_n = log_n + self.lqd
@@ -117,11 +128,14 @@ class TpuProver:
 
     # ------------------------------------------------------------ stages
     def _commit_trace_fn(self, cols: GL):
-        """cols (W, H) on <g_n> -> bit-reversed LDE rows (N, W)."""
+        """cols (W, H) on <g_n> -> bit-reversed LDE rows (N, W).
+
+        Width-agnostic (jit re-specializes per shape): serves both the
+        main-trace and the stage-2 commitments."""
         if self.lde_mesh is not None:
             n_lde = 1 << self.log_max
             coeffs = coset_intt(cols, 1)
-            pad = gl.zeros((self.width, n_lde - (1 << self.log_n)))
+            pad = gl.zeros((cols.shape[0], n_lde - (1 << self.log_n)))
             cpad = gl.concatenate([coeffs, pad], axis=-1)
             from ..ops.ntt import coset_ntt_four_step
 
@@ -137,20 +151,15 @@ class TpuProver:
                 cols, 1, self.log_max - self.log_n)     # (W, N) bitrev
         return GL(lde.lo.T, lde.hi.T)  # (N, W)
 
-    def _quotient_fn(self, cols: GL, alpha: GL2, publics=None):
+    def _quotient_fn(self, cols: GL, alpha: GL2, publics=None,
+                     s2_cols: GL = None, challenges=None):
         """Constraint folding over the quotient domain -> ext evals
         (q_size,).  `publics`: GL2-scalar pytree of the AIR's public
-        values, a runtime input (see verifier._publics_device)."""
+        values, a runtime input (see verifier._publics_device).
+        Multi-stage AIRs additionally pass the stage-2 columns (s2w, H)
+        and the sampled GL2 challenge scalars."""
         q_size = 1 << self.q_log_n
         h = 1 << self.log_n
-        locals_ = coset_lde_pair(
-            cols, 1, self.q_log_n - self.log_n)           # (W, q)
-        # nexts on the quotient coset are a ROTATION of locals: with
-        # g_t = g_q^(2^lqd), p(g_t * 7 * g_q^j) = locals[(j + 2^lqd) % q]
-        # — no second full-width NTT and no second (W, q) array (the
-        # Keccak HBM floor, VERDICT r2 weak #1)
-        nexts = GL(jnp.roll(locals_.lo, -self.n_chunks, axis=-1),
-                   jnp.roll(locals_.hi, -self.n_chunks, axis=-1))
 
         # selectors on the quotient coset (two_adic.rs:92-122), vectorized;
         # trace domain shift = 1
@@ -171,11 +180,27 @@ class TpuProver:
         inv_zeroifier = invs[2]
 
         S = self.quotient_eval_chunks
+        ext_of = lambda x: GL2(x, gl.zeros(x.shape))
         if S == 1:
+            locals_ = coset_lde_pair(
+                cols, 1, self.q_log_n - self.log_n)       # (W, q)
+            # nexts on the quotient coset are a ROTATION of locals: with
+            # g_t = g_q^(2^lqd), p(g_t * 7 * g_q^j) = locals[(j + 2^lqd) % q]
+            # — no second full-width NTT and no second (W, q) array (the
+            # Keccak HBM floor, VERDICT r2 weak #1)
+            nexts = GL(jnp.roll(locals_.lo, -self.n_chunks, axis=-1),
+                       jnp.roll(locals_.hi, -self.n_chunks, axis=-1))
+            if self.s2w:
+                s2_locals = coset_lde_pair(
+                    s2_cols, 1, self.q_log_n - self.log_n)  # (s2w, q)
+                s2_nexts = GL(
+                    jnp.roll(s2_locals.lo, -self.n_chunks, axis=-1),
+                    jnp.roll(s2_locals.hi, -self.n_chunks, axis=-1))
             main = _MainVec(
-                GL2(locals_, gl.zeros(locals_.shape)),
-                GL2(nexts, gl.zeros(nexts.shape)),
-                self.width,
+                ext_of(locals_), ext_of(nexts), self.width,
+                ext_of(s2_locals) if self.s2w else None,
+                ext_of(s2_nexts) if self.s2w else None,
+                self.s2w,
             )
             folder = VerifierConstraintFolder(
                 ops=gl2.Ops((q_size,)),
@@ -185,18 +210,65 @@ class TpuProver:
                 is_transition=is_trans,
                 alpha=alpha,
                 publics=publics,
+                challenges=challenges,
             )
             self.air.eval(folder)
             acc = folder.accumulator                      # (q,) ext
             return gl2.mul_base(acc, inv_zeroifier)
 
-        # chunked: lax.map over S point segments (one traced eval body)
-        qc_size = q_size // S
-        assert qc_size * S == q_size
+        # chunked (S > 1): STRIDED sub-coset segmentation, lax.map over S
+        # segments with one traced eval body.  Segment c is the quotient-
+        # domain indices j = c (mod S) — the coset 7*g_q^c * <g_M> with
+        # M = q/S — so the segment's trace evals come DIRECTLY from the
+        # (W, h) coefficient array by a folded shift-scaled NTT of length
+        # M; the full (W, q) locals/nexts arrays (the Keccak HBM floor:
+        # 2*(B, 2633, 2^13) live at once) are never materialized.  nexts
+        # evaluate the same fold with shift g_t*7*g_q^c.  Values are
+        # bit-identical to the unchunked path, reassembled by stride.
+        M = q_size // S
+        assert M * S == q_size and M >= 1
+        coeffs = coset_intt(cols, 1)                      # (W, h)
+        s2_coeffs = coset_intt(s2_cols, 1) if self.s2w else None
+        if M >= h:
+            K = 1
+            pad = gl.zeros(coeffs.shape[:-1] + (M - h,))
+            coeffs = gl.concatenate([coeffs, pad], axis=-1)
+            if self.s2w:
+                pad2 = gl.zeros(s2_coeffs.shape[:-1] + (M - h,))
+                s2_coeffs = gl.concatenate([s2_coeffs, pad2], axis=-1)
+        else:
+            K = h // M
+        # (W, K, M): coefficient a_{m+kM} at [.., k, m]
+        c3 = GL(coeffs.lo.reshape(coeffs.shape[:-1] + (K, M)),
+                coeffs.hi.reshape(coeffs.shape[:-1] + (K, M)))
+        s23 = (GL(s2_coeffs.lo.reshape(s2_coeffs.shape[:-1] + (K, M)),
+                  s2_coeffs.hi.reshape(s2_coeffs.shape[:-1] + (K, M)))
+               if self.s2w else None)
+
+        # host fold-weight tables: w[c, k, m] = shift_c^(m + kM) with
+        # shift_c = 7*g_q^c (locals) / g_t*7*g_q^c (nexts); after the
+        # weighted fold over k the segment evals are one PLAIN length-M
+        # NTT (the shift is fully absorbed into the weights)
+        def _w_tab(mul_shift: int) -> GL:
+            out = np.empty((S, K, M), dtype=object)
+            for c in range(S):
+                s_c = mul_shift * 7 * pow(self.g_q, c, P) % P
+                p0 = 1
+                for k in range(K):
+                    pw = p0
+                    for m in range(M):
+                        out[c, k, m] = pw
+                        pw = pw * s_c % P
+                    p0 = p0 * pow(s_c, M, P) % P
+            return gl.from_u64(out)
+
+        w_loc = _w_tab(1)                                 # (S, K, M)
+        w_nxt = _w_tab(self.g_t)
 
         def seg(a):
-            return jnp.moveaxis(a.reshape(a.shape[:-1] + (S, qc_size)),
-                                -2, 0)
+            # strided segment view: a[..., j], j = c + S*t -> (S, ..., M)
+            r = a.reshape(a.shape[:-1] + (M, S))
+            return jnp.moveaxis(r, -1, 0)
 
         def seg_gl(x: GL):
             return GL(seg(x.lo), seg(x.hi))
@@ -204,30 +276,43 @@ class TpuProver:
         def seg_ext(x: GL2):
             return GL2(seg_gl(x.c0), seg_gl(x.c1))
 
-        xs_seg = (seg_gl(locals_), seg_gl(nexts), seg_ext(is_first),
-                  seg_ext(is_last), seg_ext(is_trans), seg_gl(inv_zeroifier))
+        def _fold_ntt(c3_: GL, w: GL) -> GL:
+            # sum_k a[.., k, :] * w[k, :]  ->  (.., M), then NTT
+            prod = gl.mul(c3_, w)
+            acc = prod[..., 0, :]
+            for k in range(1, K):
+                acc = gl.add(acc, prod[..., k, :])
+            return _ntt_flat(acc)
+
+        xs_seg = (w_loc, w_nxt, seg_ext(is_first), seg_ext(is_last),
+                  seg_ext(is_trans), seg_gl(inv_zeroifier))
 
         def body(args):
-            loc, nxt, s_first, s_last, s_trans, invz = args
+            wl, wn, s_first, s_last, s_trans, invz = args
+            loc = _fold_ntt(c3, wl)
+            nxt = _fold_ntt(c3, wn)
             main = _MainVec(
-                GL2(loc, gl.zeros(loc.shape)),
-                GL2(nxt, gl.zeros(nxt.shape)),
-                self.width,
+                ext_of(loc), ext_of(nxt), self.width,
+                ext_of(_fold_ntt(s23, wl)) if self.s2w else None,
+                ext_of(_fold_ntt(s23, wn)) if self.s2w else None,
+                self.s2w,
             )
             folder = VerifierConstraintFolder(
-                ops=gl2.Ops((qc_size,)),
+                ops=gl2.Ops((M,)),
                 main=main,
                 is_first_row=s_first,
                 is_last_row=s_last,
                 is_transition=s_trans,
                 alpha=alpha,
                 publics=publics,
+                challenges=challenges,
             )
             self.air.eval(folder)
             return gl2.mul_base(folder.accumulator, invz)
 
-        acc = jax.lax.map(body, xs_seg)                  # (S, qc) ext
-        flat = lambda a: jnp.moveaxis(a, 0, -2).reshape(
+        acc = jax.lax.map(body, xs_seg)                  # (S, M) ext
+        # reassemble natural order: out[c + S*t] = acc[c, t]
+        flat = lambda a: jnp.moveaxis(a, 0, -1).reshape(
             a.shape[1:-1] + (q_size,))
         return GL2(GL(flat(acc.c0.lo), flat(acc.c0.hi)),
                    GL(flat(acc.c1.lo), flat(acc.c1.hi)))
@@ -289,7 +374,8 @@ class TpuProver:
             self._fold_cache[log_folded] = (rows_fn, step_fn)
         return self._fold_cache[log_folded]
 
-    def _opened_fn(self, cols: GL, q_evals: GL2, zeta: GL2):
+    def _opened_fn(self, cols: GL, q_evals: GL2, zeta: GL2,
+                   s2_cols: GL = None):
         """Opened values at zeta / zeta*g (barycentric, batched)."""
         zeta_next = gl2.mul_base(zeta, gl.full((), self.g_t))
         tl = barycentric_eval_ext(cols, 1, zeta)            # (W,)
@@ -299,10 +385,33 @@ class TpuProver:
             ev = q_evals[ci::self.n_chunks]
             chunk_cols = gl.stack([ev.c0, ev.c1])           # (D, q/ch)
             qc.append(barycentric_eval_ext(chunk_cols, self.chunk_shifts[ci], zeta))
+        if self.s2w:
+            s2l = barycentric_eval_ext(s2_cols, 1, zeta)        # (s2w,)
+            s2n = barycentric_eval_ext(s2_cols, 1, zeta_next)   # (s2w,)
+            return tl, tn, gl2.stack(qc), s2l, s2n
         return tl, tn, gl2.stack(qc)                        # qc: (ch, D)
 
+    def _stage2_cols(self, cols: GL, trace_rows_host, challenges_d) -> GL:
+        """Stage-2 columns (s2w, H) from the main trace + challenges.
+
+        Airs exposing `build_stage2_device(cols, challenges)` stay fully
+        device-resident; otherwise the sampled challenges sync to host
+        once and the host callback Air.build_stage2 runs (identical
+        values either way — asserted byte-equal against refimpl)."""
+        build_dev = getattr(self.air, "build_stage2_device", None)
+        if build_dev is not None:
+            return build_dev(cols, challenges_d)
+        challenges = [_ext_pull(c) for c in challenges_d]
+        if isinstance(trace_rows_host, GL):
+            trace_rows_host = gl.to_u64_np(
+                GL(trace_rows_host.lo.T, trace_rows_host.hi.T)).tolist()
+        s2 = self.air.build_stage2(trace_rows_host, challenges)
+        return gl.from_u64(np.asarray(
+            [[v % P for v in col] for col in s2], dtype=object))
+
     def _ro_fn(self, trace_rows: GL, q_rows: GL, tl: GL2, tn: GL2, qc: GL2,
-               zeta: GL2, alpha_fri: GL2):
+               zeta: GL2, alpha_fri: GL2, s2_rows: GL = None,
+               s2l: GL2 = None, s2n: GL2 = None):
         """FRI input vector at max height (bit-reversed order), grouped the
         same way as the verifier's reduced openings."""
         n = 1 << self.log_max
@@ -313,8 +422,9 @@ class TpuProver:
         zeta_next = gl2.mul_base(zeta, gl.full((), self.g_t))
 
         w = self.width
+        s2w = self.s2w
         D = EXT_DEGREE
-        T = 2 * w + self.n_chunks * D
+        T = 2 * w + 2 * s2w + self.n_chunks * D
 
         def _pow_body(acc, _):
             return gl2.mul(acc, alpha_fri), acc
@@ -325,8 +435,11 @@ class TpuProver:
         groups = [
             (trace_rows, tl, zeta, 0),
             (trace_rows, tn, zeta_next, w),
-            (q_rows, qc_flat, zeta, 2 * w),
         ]
+        if s2w:
+            groups.append((s2_rows, s2l, zeta, 2 * w))
+            groups.append((s2_rows, s2n, zeta_next, 2 * w + s2w))
+        groups.append((q_rows, qc_flat, zeta, 2 * w + 2 * s2w))
 
         ro = gl2.zeros((n,))
         dens = []
@@ -406,19 +519,29 @@ class TpuProver:
         def ze(shape):
             return GL2(z(shape), z(shape))
 
+        s2w = self.s2w
+        chs = [ze(()) for _ in range(self.n_challenges)]
+        s2c = z((s2w, H)) if s2w else None
         calls = [
             lambda: self._s_commit_trace(z((W, H))),
             lambda: self._s_quotient(
                 z((W, H)), ze(()),
-                {k: ze(()) for k in self.air.public_values()}),
+                {k: ze(()) for k in self.air.public_values()},
+                s2c, chs),
             lambda: self._s_commit_chunks(ze((qsize,))),
-            lambda: self._s_opened(z((W, H)), ze((qsize,)), ze(())),
+            lambda: self._s_opened(z((W, H)), ze((qsize,)), ze(()), s2c),
             lambda: self._s_ro(z((N, W)), z((1 << l, self.n_chunks * EXT_DEGREE)),
                                ze((W,)), ze((W,)),
-                               ze((self.n_chunks, EXT_DEGREE)), ze(()), ze(())),
+                               ze((self.n_chunks, EXT_DEGREE)), ze(()), ze(()),
+                               z((N, s2w)) if s2w else None,
+                               ze((s2w,)) if s2w else None,
+                               ze((s2w,)) if s2w else None),
             lambda: self._grind(z((11,)), jnp.uint32(0)),
         ]
         tree_heights = [(N, W), (1 << l, self.n_chunks * EXT_DEGREE)]
+        if s2w:
+            calls.append(lambda: self._s_commit_trace(z((s2w, H))))
+            tree_heights.append((N, s2w))
         for log_folded in range(self.log_max - 1, fc.log_blowup - 1, -1):
             m = 1 << log_folded
             tree_heights.append((m, 4))
@@ -469,24 +592,42 @@ class TpuProver:
         trace_rows = self._s_commit_trace(cols)                 # (N, W)
         trace_tree = DeviceMerkleTree(trace_rows)
         ch.observe_many(trace_tree.root)
+
+        # stage 2 (multi-stage AIRs): sample challenges, build + commit the
+        # challenge-dependent second matrix (refimpl/prover.py:127-140)
+        challenges_d = [ch.sample_ext() for _ in range(self.n_challenges)]
+        s2_cols = s2_rows = s2_tree = None
+        if self.s2w:
+            s2_cols = self._stage2_cols(cols, trace_rows_host, challenges_d)
+            s2_rows = self._s_commit_trace(s2_cols)             # (N, s2w)
+            s2_tree = DeviceMerkleTree(s2_rows)
+            ch.observe_many(s2_tree.root)
+
         alpha_d = ch.sample_ext()
 
         # quotient
         from ..verifier import _publics_device
 
         q_evals = self._s_quotient(cols, alpha_d,
-                                   _publics_device(self.air))   # (q,) ext
+                                   _publics_device(self.air),
+                                   s2_cols, challenges_d)       # (q,) ext
         q_rows = self._s_commit_chunks(q_evals)
         quotient_tree = DeviceMerkleTree(q_rows)
         ch.observe_many(quotient_tree.root)
         zeta_d = ch.sample_ext()
 
         # opened values (stay on device; pulled at assembly)
-        tl, tn, qc = self._s_opened(cols, q_evals, zeta_d)
+        if self.s2w:
+            tl, tn, qc, s2l, s2n = self._s_opened(cols, q_evals, zeta_d,
+                                                  s2_cols)
+        else:
+            tl, tn, qc = self._s_opened(cols, q_evals, zeta_d)
+            s2l = s2n = None
 
         # FRI
         alpha_fri_d = ch.sample_ext()
-        u = self._s_ro(trace_rows, q_rows, tl, tn, qc, zeta_d, alpha_fri_d)
+        u = self._s_ro(trace_rows, q_rows, tl, tn, qc, zeta_d, alpha_fri_d,
+                       s2_rows, s2l, s2n)
 
         commit_phase_trees = []
         commit_phase_vectors = []
@@ -542,6 +683,11 @@ class TpuProver:
             "trace_paths": trace_tree.open_paths(qidx),
             "q_paths": quotient_tree.open_paths(qidx),
         }
+        if self.s2w:
+            pulls["s2_root"] = s2_tree.root
+            pulls["s2l"], pulls["s2n"] = s2l, s2n
+            pulls["s2_open_rows"] = s2_rows[qidx]
+            pulls["s2_paths"] = s2_tree.open_paths(qidx)
         idx_l = qidx
         for l, tree in enumerate(commit_phase_trees):
             pulls[f"fold_sib_{l}"] = commit_phase_vectors[l][idx_l ^ 1]
@@ -573,6 +719,8 @@ class TpuProver:
                 ext_pull_h(GL2(qc_h.c0[ci], qc_h.c1[ci]))
                 for ci in range(self.n_chunks)
             ],
+            stage2_local=ext_pull_h(host["s2l"]) if self.s2w else None,
+            stage2_next=ext_pull_h(host["s2n"]) if self.s2w else None,
         )
         final_poly = ext_pull_h(host["final"])
         query_indices = [int(v) for v in host["qidx"]]
@@ -586,6 +734,10 @@ class TpuProver:
         fold_paths = [gl.to_u64_np(host[f"fold_paths_{l}"])
                       for l in range(len(commit_phase_trees))]
 
+        if self.s2w:
+            s2_open_rows = gl.to_u64_np(host["s2_open_rows"])    # (Q, s2w)
+            s2_paths = gl.to_u64_np(host["s2_paths"])
+
         D = EXT_DEGREE
         query_openings = []
         query_proofs = []
@@ -596,6 +748,14 @@ class TpuProver:
                     opening_proof=[[int(v) for v in sib]
                                    for sib in trace_paths[qi]],
                 ),
+            ]
+            if self.s2w:
+                batches.append(BatchOpening(
+                    opened_values=[[int(v) for v in s2_open_rows[qi]]],
+                    opening_proof=[[int(v) for v in sib]
+                                   for sib in s2_paths[qi]],
+                ))
+            batches.append(
                 BatchOpening(
                     opened_values=[
                         [int(q_open_rows[qi][ci * D + e]) for e in range(D)]
@@ -604,7 +764,7 @@ class TpuProver:
                     opening_proof=[[int(v) for v in sib]
                                    for sib in q_paths[qi]],
                 ),
-            ]
+            )
             query_openings.append(batches)
             steps = []
             for l in range(len(commit_phase_trees)):
@@ -619,6 +779,9 @@ class TpuProver:
             commitments=Commitments(
                 trace=Commitment(value=trace_commit),
                 quotient_chunks=Commitment(value=quotient_commit),
+                stage2=(Commitment(value=[
+                    int(v) for v in gl.to_u64_np(host["s2_root"])])
+                    if self.s2w else None),
             ),
             opened_values=opened,
             opening_proof=TwoAdicFriPcsProof(
@@ -646,7 +809,8 @@ def prove_on_device(air: Air, trace_rows,
     else:
         log_n = log2_strict(len(trace_rows))
     key = (air.name(), air.width(), log_n, fri_config.log_blowup,
-           fri_config.num_queries, fri_config.proof_of_work_bits)
+           fri_config.num_queries, fri_config.proof_of_work_bits,
+           air.stage2_width(), air.num_challenges())
     p = _prover_cache.get(key)
     if p is None:
         p = TpuProver(air, log_n, fri_config)

@@ -131,3 +131,33 @@ def test_keccak_device_prover_matches_refimpl(keccak_proof):
         return a == b
 
     assert deep_eq(got, keccak_proof)
+
+
+@slow
+def test_keccak_chunked_quotient_bit_equal(keccak_proof):
+    """Strided sub-coset quotient segmentation (quotient_eval_chunks=4,
+    S above the 2-chunk quotient count) on the multi-chunk Keccak AIR:
+    byte-equal to the refimpl proof while never materializing the full
+    (W, q) locals/nexts (the B>=12 HBM floor, VERDICT r3 ask #1)."""
+    import dataclasses
+
+    from plonky25_tpu.models.keccak_air import keccak_trace_np
+    from plonky25_tpu.prover.prove import TpuProver
+
+    rng = random.Random(21)
+    inp = [rng.getrandbits(64) for _ in range(25)]
+    rows = keccak_trace_np([inp])
+    got = TpuProver(KeccakAir(), 5, FC, quotient_eval_chunks=4).prove(rows)
+
+    def deep_eq(a, b):
+        if dataclasses.is_dataclass(a):
+            for f in dataclasses.fields(a):
+                deep_eq(getattr(a, f.name), getattr(b, f.name))
+        elif isinstance(a, (list, tuple)):
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                deep_eq(x, y)
+        else:
+            assert a == b
+
+    deep_eq(got, keccak_proof)

@@ -170,6 +170,46 @@ def test_multihost_verifier_multistage(rlc_proof):
     assert bool(np.asarray(all_ok))
 
 
+def test_device_prover_multistage(rlc_proof):
+    """TpuProver's stage-2 commit path (device-resident build via
+    RlcAir.build_stage2_device) produces bytes identical to the refimpl
+    oracle's (refimpl/prover.py:127-140)."""
+    from plonky25_tpu.prover.prove import prove_on_device
+
+    oracle_proof, trace = rlc_proof
+    dev = prove_on_device(RlcAir(), trace, FC)
+    assert proof_to_json(dev) == proof_to_json(oracle_proof)
+    assert verify(dev, RlcAir(), FC).ok
+
+
+def test_device_prover_multistage_host_fallback(rlc_proof):
+    """Without build_stage2_device the prover syncs the challenges to host
+    and runs Air.build_stage2 — same bytes."""
+    from plonky25_tpu.prover.prove import TpuProver
+
+    class _HostRlc(RlcAir):
+        build_stage2_device = None
+
+    oracle_proof, trace = rlc_proof
+    dev = TpuProver(_HostRlc(), 4, FC).prove(trace)
+    assert proof_to_json(dev) == proof_to_json(oracle_proof)
+
+
+def test_batch_prover_multistage(rlc_proof):
+    """BatchProver threads the stage-2 commit through the vmapped
+    pipeline: every batch lane byte-equal to the sequential prover."""
+    from plonky25_tpu.prover.batch_prove import prove_batch_on_device
+
+    oracle_proof, trace = rlc_proof
+    rng = random.Random(23)
+    trace_b = [[rng.randrange(1 << 63), rng.randrange(1 << 63)]
+               for _ in range(16)]
+    oracle_b = prove(RlcAir(), trace_b, FC)
+    got = prove_batch_on_device(RlcAir(), [trace, trace_b], FC)
+    assert proof_to_json(got[0]) == proof_to_json(oracle_proof)
+    assert proof_to_json(got[1]) == proof_to_json(oracle_b)
+
+
 class _FlexAir(RlcAir):
     """Same name + dims in single- and multi-stage form (cache-key probe)."""
 

@@ -40,3 +40,29 @@ def test_device_prover_other_shape_roundtrip():
     from plonky25_tpu.verifier import verify_proof
     r = verify_proof(proof, FibonacciAir(), fc)
     assert bool(np.asarray(r.ok))
+
+
+def test_chunked_quotient_eval_bit_equal():
+    """quotient_eval_chunks > 1 (strided sub-coset segmentation: locals/
+    nexts per segment via folded shift-scaled NTTs, never materializing
+    the full (W, q) arrays) is bit-identical to the unchunked path —
+    on a single-stage AIR and on a multi-stage one."""
+    from plonky25_tpu.prover.prove import TpuProver
+
+    fc = FriConfig(log_blowup=1, num_queries=8, proof_of_work_bits=4)
+    base = TpuProver(FibonacciAir(), 5, fc).prove(fibonacci_trace(32))
+    for s in (2, 8):
+        got = TpuProver(FibonacciAir(), 5, fc,
+                        quotient_eval_chunks=s).prove(fibonacci_trace(32))
+        _deep_eq(got, base, path=f"S={s}")
+
+    import random
+
+    from plonky25_tpu.models.rlc_air import RlcAir
+
+    rng = random.Random(5)
+    trace = [[rng.randrange(1 << 63), rng.randrange(1 << 63)]
+             for _ in range(16)]
+    base = TpuProver(RlcAir(), 4, fc).prove(trace)
+    got = TpuProver(RlcAir(), 4, fc, quotient_eval_chunks=4).prove(trace)
+    _deep_eq(got, base, path="rlc-S4")
