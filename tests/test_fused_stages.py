@@ -190,3 +190,46 @@ def test_fold_grouped_variant_matches_wide():
         assert not bool(np.asarray(v._fold_fn(*bad_args)))
     finally:
         V._FOLD_WIDE_MAX_LANES = old
+
+
+def test_fused_whole_verify_matches_staged():
+    """The one-dispatch fused verify (TpuVerifier._verify_all_fn, the
+    single-proof TPU fast path) agrees bit-for-bit with the five staged
+    dispatches on the golden proof, on a tampered proof, and on the
+    recorded raw samples the attestation path consumes."""
+    import copy
+
+    from plonky25_tpu import FriConfig, load_proof
+    from plonky25_tpu.proof import derive_config
+    from plonky25_tpu.witness import pack_witness
+
+    proof = load_proof("/root/reference/artifacts/proof_fibonacci.json")
+    fc = FriConfig(log_blowup=1, num_queries=100, proof_of_work_bits=16)
+    v = _get_verifier()
+    cfg = derive_config(proof, fc)
+
+    for p in (proof,):
+        w = pack_witness(p, cfg)
+        a = v.verify_witness(w)
+        b = v.verify_witness_fused(w)
+        for f in ("ok", "pow_ok", "merkle_ok", "fold_ok", "quotient_ok"):
+            assert bool(np.asarray(getattr(a, f))) == bool(
+                np.asarray(getattr(b, f))), f
+        assert np.array_equal(np.asarray(a.query_indices),
+                              np.asarray(b.query_indices))
+        assert bool(np.asarray(b.ok))
+
+    bad = copy.deepcopy(proof)
+    bad.opening_proof.fri_proof.pow_witness += 1
+    wb = pack_witness(bad, cfg)
+    rb = v.verify_witness_fused(wb)
+    assert not bool(np.asarray(rb.ok)) and not bool(np.asarray(rb.pow_ok))
+
+    # raw-sample record matches the staged transcript stage
+    from plonky25_tpu.fields.goldilocks import to_u64_np
+    from plonky25_tpu.verifier import _publics_device
+
+    w = pack_witness(proof, cfg)
+    r = v._s_all(w, _publics_device(v.air))
+    t = v._s_transcript(w["obs"])
+    assert np.array_equal(to_u64_np(r["samples"]), to_u64_np(t["samples"]))
