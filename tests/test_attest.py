@@ -321,6 +321,15 @@ def test_attest_roundtrip_and_tamper(small_proof):
         A.bundle_to_json(bundle))))
     assert chk(again, small_proof, FC)
 
+    # statement digest: present, survives JSON, matches an independent
+    # recompute, and a digest for the wrong proof is rejected early
+    assert bundle.statement is not None
+    assert again.statement == bundle.statement
+    assert bundle.statement == A.statement_digest(bundle, small_proof)
+    wrong = copy.deepcopy(bundle)
+    wrong.statement = A.statement_digest(wrong, other)
+    assert not chk(wrong, small_proof, FC)
+
 
 @pytest.mark.slow
 def test_attest_many_aggregates(small_proof):
