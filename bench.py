@@ -144,7 +144,14 @@ def _mfu_section(v, w, fc, queries_per_sec, bv=None, ws=None):
     fold_args = (t["index"], t["phase_commits"], t["betas_stack"],
                  w["fold_sibling_values"], ro, w["fold_sibs"],
                  w["final_poly"])
-    fold_count = count_int_ops(v._fold_fn, *fold_args)
+    import plonky25_tpu.ops.poseidon2 as _p2u
+
+    _saved_perm = v._permute
+    v._permute = _p2u.poseidon2_permute.__wrapped__  # see batched note below
+    try:
+        fold_count = count_int_ops(lambda *a: v._fold_fn(*a), *fold_args)
+    finally:
+        v._permute = _saved_perm
     nq = int(t["index"].shape[0])
     per_q = OpCount(fold_count.int_ops / nq, fold_count.exact)
     dt = _timeit(lambda: v._s_fold(*fold_args),
@@ -172,14 +179,26 @@ def _mfu_section(v, w, fc, queries_per_sec, bv=None, ws=None):
         # produced >100%-of-ceiling MFURs (VERDICT r3 weak #1).  The
         # Pallas kernel's ops are counted from its jnp-equivalent body at
         # the same shape (PALLAS_DISABLED forced during tracing only).
+        # The permute is substituted with its UN-jitted body for the
+        # trace: embedding the jitted poseidon2_permute inside an outer
+        # make_jaxpr reuses a cached inner jaxpr whose op content is not
+        # reliably visible to the counter once other traces have run.
         import plonky25_tpu.ops.poseidon2 as _p2
 
         saved = _p2.PALLAS_DISABLED
+        saved_perm = v._permute
         _p2.PALLAS_DISABLED = True
+        v._permute = _p2.poseidon2_permute.__wrapped__
         try:
-            bfold_count = count_int_ops(v._batched_fold_fn, *bfold_args)
+            # fresh lambda: a bound method hashes by (self, func), so
+            # tracing v._batched_fold_fn directly HITS the jit trace
+            # cache bv._f populated with the Pallas permute — returning
+            # the stale Pallas jaxpr (invisible ops) instead of tracing
+            bfold_count = count_int_ops(
+                lambda *a: v._batched_fold_fn(*a), *bfold_args)
         finally:
             _p2.PALLAS_DISABLED = saved
+            v._permute = saved_perm
         per_bq = OpCount(bfold_count.int_ops / (bsz * nq),
                          bfold_count.exact)
         dt = _timeit(lambda: bv._f(*bfold_args),
@@ -192,10 +211,13 @@ def _mfu_section(v, w, fc, queries_per_sec, bv=None, ws=None):
                  tuple(ws["batch_sibs"]),
                  (tb["trace_commit"], tb["quotient_commit"]))
         _p2.PALLAS_DISABLED = True
+        v._permute = _p2.poseidon2_permute.__wrapped__
         try:
-            mb_count = count_int_ops(v._batched_batch_all_fn, *bargs)
+            mb_count = count_int_ops(
+                lambda *a: v._batched_batch_all_fn(*a), *bargs)
         finally:
             _p2.PALLAS_DISABLED = saved
+            v._permute = saved_perm
         per_mq = OpCount(mb_count.int_ops / (bsz * nq), mb_count.exact)
         dt = _timeit(lambda: bv._b(*bargs),
                      lambda o: sync(jax.numpy.asarray(o)))

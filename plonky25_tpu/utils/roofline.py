@@ -33,15 +33,21 @@ import numpy as np
 
 VPU_PEAK_V5E = 8 * 128 * 4 * 1.5e9  # u32 ops/s/chip, see module docstring
 
-# Measured integer ceiling (v5e-1, 2026-08-17): VMEM-resident Pallas
-# microkernels running non-collapsible u32 recurrences sustain 0.3-0.75
-# T ops/s on dependent chains; the fully-unrolled Poseidon2 kernel (ample
-# ILP across its 108k-op body) sustains ~1.7 T ops/s.  The f32-derived
-# figure above is NOT achievable for u32 work on this part — integer ops
-# do not get the 4-ALU FMA rate.  MFU is reported against both: `mfu`
-# (vs the theoretical bound, pessimistic) and `mfu_vs_u32_ceiling`
-# (vs this empirical ceiling, the realistic speed-of-light).
-U32_CEILING_V5E = 2.0e12
+# Measured integer ceiling (v5e-1; r2 calibration 2026-08-17, raised r4
+# 2026-08-21): VMEM-resident Pallas microkernels running non-collapsible
+# u32 recurrences sustain 0.3-0.75 T ops/s on dependent chains; the
+# fully-unrolled Poseidon2 kernel (ample ILP across its 108k-op body)
+# sustains ~1.7 T ops/s, and the r3 fused batch Merkle walk measured
+# 2.006 T ops/s sustained (exact per-shape op count) — the old "~2 T"
+# estimate was at/below actually-achievable, so the ceiling is set just
+# above the best sustained measurement.  The f32-derived figure above is
+# NOT achievable for u32 work on this part — integer ops do not get the
+# 4-ALU FMA rate.  MFU is reported against both: `mfu` (vs the
+# theoretical bound, pessimistic) and `mfu_vs_u32_ceiling` (vs this
+# empirical ceiling, the realistic speed-of-light).  No kernel may
+# report >1.0 of this ceiling; if one sustainably does, re-measure and
+# raise the ceiling rather than shipping a >100% number.
+U32_CEILING_V5E = 2.1e12
 
 # Elementwise integer primitives, one ALU op per output element.
 _INT_PRIMS = {
