@@ -159,6 +159,17 @@ class BatchProver:
             calls.append(lambda mm=m: _open_paths_v(
                 levels_for(mm), jnp.zeros((B, Q), jnp.uint32)))
 
+        # Concurrent warmup EXECUTES each module on zero inputs; at large
+        # B x W x N the working sets of 8 simultaneous calls exceed HBM
+        # (keccak B=16: the quotient module alone holds ~3GB live —
+        # RESOURCE_EXHAUSTED under full concurrency).  Scale workers by
+        # the dominant buffer size; compiles still overlap via the
+        # remote-compile pipeline within each worker's queue.
+        big = B * N * W * 8
+        if big > 3 << 30:
+            max_workers = 1
+        elif big > 1 << 30:
+            max_workers = min(max_workers, 2)
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             list(ex.map(lambda c: jax.block_until_ready(c()), calls))
         self._warmed_batch_sizes.add(B)

@@ -441,28 +441,86 @@ class TpuProver:
             groups.append((s2_rows, s2n, zeta_next, 2 * w + s2w))
         groups.append((q_rows, qc_flat, zeta, 2 * w + 2 * s2w))
 
+        def _col_sum(p_at_x: GL, p_at_z: GL2, coef: GL2) -> GL2:
+            """sum_c coef_c * (p_c(x) - p_c(z)) over the column axis.
+
+            Wide matrices (Keccak: C=2633 at n=2^13 rows) stream in
+            column chunks via lax.scan — the (n, C) ext temporary
+            (5.5GB at B=16) is the reduced-opening HBM peak otherwise.
+            GF(p) addition is exact and associative, so the chunked
+            accumulation is value-identical to any other order."""
+            C = p_at_x.shape[-1]
+            CH = 256
+            if C <= 2 * CH:
+                num = gl2.add_base(
+                    gl2.broadcast_to(gl2.neg(p_at_z), (n, C)), p_at_x
+                )
+                weighted = gl2.mul(gl2.broadcast_to(coef, (n, C)), num)
+                acc = weighted
+                while acc.c0.lo.shape[-1] > 1:
+                    m = acc.c0.lo.shape[-1]
+                    mm = 1 << (m - 1).bit_length()
+                    if mm != m:
+                        z_pad = gl2.zeros(acc.c0.lo.shape[:-1] + (mm - m,))
+                        acc = GL2(
+                            gl.concatenate([acc.c0, z_pad.c0], axis=-1),
+                            gl.concatenate([acc.c1, z_pad.c1], axis=-1),
+                        )
+                    half = acc.c0.lo.shape[-1] // 2
+                    acc = gl2.add(acc[..., :half], acc[..., half:])
+                return GL2(acc.c0[..., 0], acc.c1[..., 0])
+
+            n_ch = -(-C // CH)
+            pad = n_ch * CH - C
+            if pad:
+                # zero coef nulls the padded columns' contribution
+                px = GL(
+                    jnp.concatenate(
+                        [p_at_x.lo, jnp.zeros((n, pad), jnp.uint32)], -1),
+                    jnp.concatenate(
+                        [p_at_x.hi, jnp.zeros((n, pad), jnp.uint32)], -1),
+                )
+                pz = GL2(gl.concatenate([p_at_z.c0, gl.zeros((pad,))], -1),
+                         gl.concatenate([p_at_z.c1, gl.zeros((pad,))], -1))
+                cf = GL2(gl.concatenate([coef.c0, gl.zeros((pad,))], -1),
+                         gl.concatenate([coef.c1, gl.zeros((pad,))], -1))
+            else:
+                px, pz, cf = p_at_x, p_at_z, coef
+
+            def seg_cols(a, trail_n=False):
+                # (..., n_ch*CH) -> (n_ch, ..., CH)
+                r = a.reshape(a.shape[:-1] + (n_ch, CH))
+                return jnp.moveaxis(r, -2, 0)
+
+            xs_scan = (
+                GL(seg_cols(px.lo), seg_cols(px.hi)),
+                GL2(GL(seg_cols(pz.c0.lo), seg_cols(pz.c0.hi)),
+                    GL(seg_cols(pz.c1.lo), seg_cols(pz.c1.hi))),
+                GL2(GL(seg_cols(cf.c0.lo), seg_cols(cf.c0.hi)),
+                    GL(seg_cols(cf.c1.lo), seg_cols(cf.c1.hi))),
+            )
+
+            def body(acc, xs_):
+                px_, pz_, cf_ = xs_
+                num = gl2.add_base(
+                    gl2.broadcast_to(gl2.neg(pz_), (n, CH)), px_)
+                weighted = gl2.mul(gl2.broadcast_to(cf_, (n, CH)), num)
+                s = weighted
+                while s.c0.lo.shape[-1] > 1:
+                    half = s.c0.lo.shape[-1] // 2
+                    s = gl2.add(s[..., :half], s[..., half:])
+                return gl2.add(acc, GL2(s.c0[..., 0], s.c1[..., 0])), None
+
+            acc, _ = jax.lax.scan(body, gl2.zeros((n,)), xs_scan)
+            return acc
+
         ro = gl2.zeros((n,))
         dens = []
         sums = []
         for p_at_x, p_at_z, z, k0 in groups:
             C = p_at_x.shape[-1]
-            num = gl2.add_base(
-                gl2.broadcast_to(gl2.neg(p_at_z), (n, C)), p_at_x
-            )
             coef = pow_stack[k0:k0 + C]
-            weighted = gl2.mul(gl2.broadcast_to(coef, (n, C)), num)
-            while weighted.c0.lo.shape[-1] > 1:
-                m = weighted.c0.lo.shape[-1]
-                mm = 1 << (m - 1).bit_length()
-                if mm != m:
-                    z_pad = gl2.zeros((n, mm - m))
-                    weighted = GL2(
-                        gl.concatenate([weighted.c0, z_pad.c0], axis=-1),
-                        gl.concatenate([weighted.c1, z_pad.c1], axis=-1),
-                    )
-                half = weighted.c0.lo.shape[-1] // 2
-                weighted = gl2.add(weighted[..., :half], weighted[..., half:])
-            sums.append(GL2(weighted.c0[..., 0], weighted.c1[..., 0]))
+            sums.append(_col_sum(p_at_x, p_at_z, coef))
             dens.append(gl2.add_base(gl2.broadcast_to(gl2.neg(z), (n,)), xs))
         inv_dens = gl2.inv(gl2.stack(dens))
         for gi in range(len(groups)):

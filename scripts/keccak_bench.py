@@ -65,8 +65,11 @@ def main():
               bool(np.asarray(verify_proof(proof, air, fc).ok)))
     else:
         # chunk the constraint eval so wide-AIR intermediates fit HBM at
-        # large B (B=16 un-chunked OOMs at 20.6G on v5e-1)
-        qec = 4 if batch >= 8 else 1  # must divide the quotient size (2^k)
+        # large B (B=16 un-chunked OOMs at 20.6G on v5e-1); with the
+        # strided sub-coset segmentation the live set per segment scales
+        # as 1/qec, so larger batches take more segments
+        qec = (int(os.environ.get("KECCAK_QEC", "0"))
+               or (8 if batch >= 12 else 4 if batch >= 8 else 1))
         traces = [rows] * batch
         t0 = time.time()
         prove_batch_on_device(air, traces, fc, quotient_eval_chunks=qec)
