@@ -182,6 +182,7 @@ def test_device_prover_multistage(rlc_proof):
     assert verify(dev, RlcAir(), FC).ok
 
 
+@pytest.mark.slow
 def test_device_prover_multistage_host_fallback(rlc_proof):
     """Without build_stage2_device the prover syncs the challenges to host
     and runs Air.build_stage2 — same bytes."""
@@ -195,6 +196,7 @@ def test_device_prover_multistage_host_fallback(rlc_proof):
     assert proof_to_json(dev) == proof_to_json(oracle_proof)
 
 
+@pytest.mark.slow
 def test_batch_prover_multistage(rlc_proof):
     """BatchProver threads the stage-2 commit through the vmapped
     pipeline: every batch lane byte-equal to the sequential prover."""

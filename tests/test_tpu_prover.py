@@ -42,6 +42,7 @@ def test_device_prover_other_shape_roundtrip():
     assert bool(np.asarray(r.ok))
 
 
+@pytest.mark.slow
 def test_chunked_quotient_eval_bit_equal():
     """quotient_eval_chunks > 1 (strided sub-coset segmentation: locals/
     nexts per segment via folded shift-scaled NTTs, never materializing
