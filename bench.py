@@ -224,6 +224,19 @@ def _mfu_section(v, w, fc, queries_per_sec, bv=None, ws=None):
         section["merkle_batch_batched"] = mfu_report(
             f"merkle_batch_batched_B{bsz}", per_mq, bsz * nq / dt)
 
+    # ---- single-proof verify latency: staged (five dispatches) vs the
+    # fused one-dispatch program (verifier._verify_all_fn; VERDICT r3
+    # ask #6 — the latency the attestation pays per fresh target proof)
+    dt_staged = _timeit(lambda: v.verify_witness(w),
+                        lambda o: sync(jax.numpy.asarray(o.ok)))
+    dt_fused = _timeit(lambda: v.verify_witness_fused(w),
+                       lambda o: sync(jax.numpy.asarray(o.ok)))
+    section["verify_latency"] = {
+        "staged_ms": round(dt_staged * 1e3, 3),
+        "fused_ms": round(dt_fused * 1e3, 3),
+        "speedup": round(dt_staged / dt_fused, 2),
+    }
+
     # ---- whole-verify MFU at the headline number (ops per query from all
     # five stages is dominated by merkle+fold hashing; approximate with the
     # batch pipeline's measured q/s against the fold+merkle op model)

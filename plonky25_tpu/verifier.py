@@ -743,12 +743,16 @@ class TpuVerifier:
         The staged split (module docstring) was a compile-time tradeoff
         from round 1, when the fused verifier was a 23k-equation graph;
         after the scan-folded transcript, batched inversions and fused
-        hash walks the whole verify is a small module again — and at B=1
-        the staged path is DISPATCH-bound (five host round trips over the
-        TPU tunnel dominate the ~7 ms of compute; VERDICT r3 weak #8).
-        One dispatch also serves the attestation's instrumented verify
-        (attest._device_instrumented_verify), which pays this latency per
-        fresh target proof.  The staged fns remain for the sharded /
+        hash walks the whole verify is a small module again.  Measured on
+        the axon v5e (2026-08-21): the staged stages PIPELINE
+        asynchronously (device-array glue, no host pulls between them),
+        so fused-vs-staged is 8.0 vs 8.2 ms amortized and 28.2 vs
+        29.2 ms per-call-synced — the latency floor on this setup is one
+        tunnel sync round trip (~21 ms), paid equally by both.  The
+        fused form is still the right shape: on a locally-attached TPU
+        the sync RTT collapses and dispatch count dominates, and the
+        attestation's instrumented verify gets its raw-sample record in
+        the same dispatch.  The staged fns remain for the sharded /
         batched paths and debugging."""
         t = self._transcript_fn(w["obs"])
         index = t["index"]
