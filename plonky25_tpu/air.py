@@ -62,6 +62,21 @@ class Air:
         return {}
 
 
+def check_multistage_consistency(air: "Air") -> None:
+    """Reject AIRs declaring transcript challenges without a stage-2
+    matrix.  Challenges are sampled between the trace and stage-2
+    commitments; with stage2_width()==0 there is no second commitment, the
+    device verifier skips the samples while the refimpl paths would emit
+    them, and the two transcripts diverge (every proof of such an AIR
+    would verify on one path and fail on the other).  Called by both
+    provers and the device verifier so the inconsistency is an error at
+    construction, not a silent rejection at verify time."""
+    if air.num_challenges() and not air.stage2_width():
+        raise ValueError(
+            f"{air.name()}: num_challenges()={air.num_challenges()} "
+            "requires stage2_width() > 0")
+
+
 class VerifierConstraintFolder:
     """air.rs:20-27 plus the builder methods at air.rs:34-92."""
 

@@ -163,10 +163,15 @@ class BatchProver:
         # B x W x N the working sets of 8 simultaneous calls exceed HBM
         # (keccak B=16: the quotient module alone holds ~3GB live —
         # RESOURCE_EXHAUSTED under full concurrency).  Scale workers by
-        # the dominant buffer size; compiles still overlap via the
-        # remote-compile pipeline within each worker's queue.
-        big = B * N * W * 8
-        if big > 3 << 30:
+        # the quotient module's live set: its trace input plus the
+        # per-segment ext locals/nexts (r4 advisor finding: the
+        # trace-LDE-only formula (B*N*W*8) put the measured keccak-B=16
+        # blowup in the 2-worker band; this sizes the module that
+        # actually exhausted memory, and the threshold covers that case
+        # by construction).
+        S = getattr(b, "quotient_eval_chunks", 1) or 1
+        big = B * W * H * 8 + 2 * B * W * (qsize // S) * 8 * EXT_DEGREE
+        if big > 2 << 30:
             max_workers = 1
         elif big > 1 << 30:
             max_workers = min(max_workers, 2)

@@ -105,6 +105,9 @@ class TpuProver:
         # multi-stage AIRs: a challenge-sampled second commitment between
         # the trace and quotient commits (air.py; refimpl/prover.py:127-140
         # is the executable spec this path is byte-equal to)
+        from ..air import check_multistage_consistency
+
+        check_multistage_consistency(air)
         self.s2w = air.stage2_width()
         self.n_challenges = air.num_challenges()
         self.lqd = log2_ceil(getattr(air, "quotient_degree", lambda: 1)())

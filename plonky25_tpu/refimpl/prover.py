@@ -126,6 +126,9 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
 
     # ---- stage 2 (multi-stage AIRs): sample challenges, commit the
     # challenge-dependent second matrix (air.py Air.build_stage2)
+    from ..air import check_multistage_consistency
+
+    check_multistage_consistency(air)
     s2w = air.stage2_width()
     challenges = [ch.sample_ext() for _ in range(air.num_challenges())]
     s2_tree = s2_lde_rows = None

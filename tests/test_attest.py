@@ -329,6 +329,12 @@ def test_attest_roundtrip_and_tamper(small_proof):
     wrong = copy.deepcopy(bundle)
     wrong.statement = A.statement_digest(wrong, other)
     assert not chk(wrong, small_proof, FC)
+    # STRIPPING the statement must also fail closed: attest() always sets
+    # it, so absence is tamper evidence, not a skip of the pin (r4 judge
+    # weak #7 / advisor finding)
+    stripped = copy.deepcopy(bundle)
+    stripped.statement = None
+    assert not chk(stripped, small_proof, FC)
 
 
 @pytest.mark.slow

@@ -328,3 +328,28 @@ def test_multistage_structural_fuzz(rlc_proof):
                 f"multistage mutant {kind} at {path} verified OK")
             n_value += 1
     assert n_shape > 0 and n_value > 0
+
+
+def test_challenges_without_stage2_rejected():
+    """An AIR declaring transcript challenges but no stage-2 matrix is a
+    construction-time error everywhere (device verifier, both provers):
+    the refimpl samples num_challenges() unconditionally while the device
+    verifier gates on stage2_width, so such an AIR would silently get a
+    divergent Fiat-Shamir transcript (r4 advisor finding)."""
+    from plonky25_tpu.air import Air, check_multistage_consistency
+    from plonky25_tpu.models.fibonacci import FibonacciAir, fibonacci_trace
+
+    class BadAir(FibonacciAir):
+        def num_challenges(self):
+            return 1
+
+    with pytest.raises(ValueError):
+        check_multistage_consistency(BadAir())
+    with pytest.raises(ValueError):
+        prove(BadAir(), fibonacci_trace(8), FC)
+    from plonky25_tpu.prover.prove import TpuProver
+    with pytest.raises(ValueError):
+        TpuProver(BadAir(), 3, FC)
+    # sanity: the consistent base AIR passes
+    check_multistage_consistency(FibonacciAir())
+    check_multistage_consistency(RlcAir())

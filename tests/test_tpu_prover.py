@@ -42,6 +42,20 @@ def test_device_prover_other_shape_roundtrip():
     assert bool(np.asarray(r.ok))
 
 
+def test_chunked_quotient_eval_fast_tier():
+    """Default-tier guard for quotient_eval_chunks > 1: one tiny case so a
+    regression in the strided sub-coset segmentation surfaces in every CI
+    run, not only in slow-tier sweeps (r4 advisor finding).  The full
+    grid (S in {2,8}, multi-stage, keccak) stays @slow below."""
+    from plonky25_tpu.prover.prove import TpuProver
+
+    fc = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
+    base = TpuProver(FibonacciAir(), 5, fc).prove(fibonacci_trace(32))
+    got = TpuProver(FibonacciAir(), 5, fc,
+                    quotient_eval_chunks=2).prove(fibonacci_trace(32))
+    _deep_eq(got, base, path="fast-S2")
+
+
 @pytest.mark.slow
 def test_chunked_quotient_eval_bit_equal():
     """quotient_eval_chunks > 1 (strided sub-coset segmentation: locals/
