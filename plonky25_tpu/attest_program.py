@@ -59,6 +59,7 @@ from .models.verifier_air import (
     SEL_F,
     SEL_L,
     SEL_T,
+    SEL_W,
     SLOT_IN,
     SLOT_OUT,
     SLOT_PACK1,
@@ -77,6 +78,18 @@ from .utils.bits import log2_strict
 
 ZERO2 = (0, 0)
 ONE2 = (1, 0)
+
+
+def _ext_pow(x: Tuple[int, int], n: int) -> Tuple[int, int]:
+    """GF(p^2) square-and-multiply (host; sample-derived canonical
+    constants like alpha_fri^run_length)."""
+    r, b = ONE2, tuple(x)
+    while n:
+        if n & 1:
+            r = Gl2.mul(r, b)
+        b = Gl2.mul(b, b)
+        n >>= 1
+    return r
 NEG1 = (P - 1, 0)
 NEG2 = (P - 2, 0)
 X2 = (0, 1)   # the GF(p^2) monomial X
@@ -87,7 +100,7 @@ POW_WINDOW = 4   # exponent bits consumed per two-adic pow-chain row
 class VRow:
     """One canonical trace row (control + canonically-bound values)."""
 
-    sel: str                                  # 't'|'c'|'l'|'f'|'a'
+    sel: str                                  # 't'|'c'|'l'|'f'|'a'|'w'
     b: int = 0
     absorbed: Tuple = ()                      # ((lane, value), ...)
     exposed: Tuple = ()                       # ((lane, value), ...)
@@ -101,6 +114,11 @@ class VRow:
     free_b: Optional[Tuple] = None            # ("inv", reg): ub = 1/R[reg]
     dst: int = -1
     assert_val: Optional[Tuple] = None        # bind R[dst] to this value
+    # 'w' rows only: the PRIVATE (slot, value) pair absorbed on lanes
+    # 0..1 — witness data, never part of canonical_slots (pinned by the
+    # chain digest, not the accumulator); ua = (value, 0) by the sel_w
+    # row-local tie constraint
+    priv: Optional[Tuple] = None
 
 
 # ------------------------------------------------------------- assembler
@@ -451,19 +469,41 @@ def build_verification_schedule(proof: Proof, config, air,
                     invs[z_kind] = asm.inv(r_den)
                     asm.free(r_den)
                 asm.free(r_xh)
-                # ro = sum_j alpha_fri^j * num_j * inv_{z_j}, evaluated as
-                # reverse Horner (identical field value, fewer rows)
-                r_ro = None
-                for z_kind, batch, mrow, col, p_at_z in reversed(
-                        buckets[h]):
-                    p_at_x = batches[batch].opened_values[mrow][col]
-                    r_t = asm.fma(K(p_at_z), K(NEG1), K((p_at_x % P, 0)))
-                    asm.fma(r_t, invs[z_kind], K(ZERO2), dst=r_t)
-                    if r_ro is None:
-                        r_ro = r_t
+                # ro = sum_j alpha_fri^j * num_j * inv_{z_j}: the bucket
+                # order (batch, point, column) makes z constant over long
+                # RUNS (all of a matrix's columns at one point), so the
+                # common inverse factors out of each run's alpha-Horner —
+                # 2 rows/term instead of 3 (r5: keeps the recursion-
+                # compressed outer schedule inside a 2^19 trace).  Runs
+                # recombine with canonical alpha-power constants:
+                #   ro = H'_0 + a^{n_0} (H'_1 + a^{n_1} (...)),
+                # H'_g = inv_g * Horner_g.  Identical field value to the
+                # flat per-term form (inv commutes with the Horner).
+                runs: List = []
+                for t in buckets[h]:
+                    if runs and runs[-1][0] == t[0]:
+                        runs[-1][1].append(t)
                     else:
-                        asm.fma(r_ro, K(alpha_fri), r_t, dst=r_ro)
-                        asm.free(r_t)
+                        runs.append((t[0], [t]))
+                r_ro = None
+                for z_kind, terms in reversed(runs):
+                    r_hg = None
+                    for _, batch, mrow, col, p_at_z in reversed(terms):
+                        p_at_x = batches[batch].opened_values[mrow][col]
+                        r_t = asm.fma(K(p_at_z), K(NEG1),
+                                      K((p_at_x % P, 0)))
+                        if r_hg is None:
+                            r_hg = r_t
+                        else:
+                            asm.fma(r_hg, K(alpha_fri), r_t, dst=r_hg)
+                            asm.free(r_t)
+                    asm.fma(r_hg, invs[z_kind], K(ZERO2), dst=r_hg)
+                    if r_ro is None:
+                        r_ro = r_hg
+                    else:
+                        asm.fma(r_ro, K(_ext_pow(alpha_fri, len(terms))),
+                                r_hg, dst=r_ro)
+                        asm.free(r_hg)
                 asm.free(*invs.values())
                 asm.add(r_ro, r_fold, dst=r_fold)
                 asm.free(r_ro)
@@ -863,8 +903,15 @@ def execute_program(rows: List[VRow]):
     f_lanes = []             # per 'f' row index: [4 lane values]
     for i, r in enumerate(rows):
         ua = ub = uc = ZERO2
-        if r.sel == "a":
-            ua = regs[r.pa] if r.pa >= 0 else (r.la or ZERO2)
+        if r.dst >= 0:
+            # any row may carry an FMA (the constraint is gated on the pc
+            # bit, not the selector); 'w' rows draw ua from their private
+            # pair value (the sel_w lane tie), everything else from the
+            # standard route/load operands
+            if r.sel == "w":
+                ua = (r.priv[1] % P, 0)
+            else:
+                ua = regs[r.pa] if r.pa >= 0 else (r.la or ZERO2)
             if r.free_b is not None:
                 ub = Gl2.inv(regs[r.free_b[1]])
             else:
@@ -888,7 +935,8 @@ def execute_program(rows: List[VRow]):
 
 def _control_bits(r: VRow) -> Tuple[int, int]:
     """(pack1, pack2) canonical values for one row."""
-    sel_bits = {"t": 0, "c": 1, "l": 2, "f": 3, "a": 4}
+    # 'w' sits at PACK1 bit 30 (appended after mo; PACK1_BITS order)
+    sel_bits = {"t": 0, "c": 1, "l": 2, "f": 3, "a": 4, "w": 30}
     b1 = 1 << sel_bits[r.sel]
     b1 |= r.b << 5
     for lane, _ in r.absorbed:
@@ -903,7 +951,7 @@ def _control_bits(r: VRow) -> Tuple[int, int]:
         b2 |= 1 << (NUM_REGS + r.pb)
     if r.pd >= 0:
         b2 |= 1 << (2 * NUM_REGS + r.pd)
-    if r.dst >= 0 and r.sel == "a":
+    if r.dst >= 0:
         b2 |= 1 << (3 * NUM_REGS + r.dst)
     base = 4 * NUM_REGS
     if r.la is not None:
@@ -938,30 +986,206 @@ def canonical_slots(r: VRow) -> List[Tuple[int, int]]:
     return slots
 
 
-def derive_gammas(rows: List[VRow]) -> Tuple[int, int]:
-    """Two independent gammas = Poseidon2 tree digest of the canonical
-    slot sequence (binding point depends on the data itself; see
-    attest.py round-2 notes — tree, not sponge, for one batched device
-    pass)."""
+def sequence_pairs(rows: List[VRow]) -> List[Tuple[int, int]]:
+    """The canonical (slot, value) pair stream of a schedule, in order."""
+    return [(s, v) for r in rows for s, v in canonical_slots(r)]
+
+
+# Pair-stream chunk size for the gamma sponge: the stream is padded with
+# (0, 0) pairs to a multiple of this, so the device chain function
+# compiles ONCE (fixed (GAMMA_CHUNK, 2) scan shape) and the in-trace
+# recomputation (build_compression_rows) carries at most GAMMA_CHUNK-1
+# pad rows.
+GAMMA_CHUNK = 256
+
+_chain_fn_cache: Dict = {}
+
+
+def _chain_chunk_fn():
+    """Jitted rate-2 overwrite-sponge chunk: absorb GAMMA_CHUNK (slot,
+    value) pairs into a width-12 state, one permutation per pair."""
+    import jax
+
+    from .ops.poseidon2 import poseidon2_permute
+
+    fn = _chain_fn_cache.get("chunk")
+    if fn is None:
+        @jax.jit
+        def fn(state, pairs):        # state GL (12,), pairs GL (C, 2)
+            def body(st, pr):
+                lo = st.lo.at[0:2].set(pr.lo)
+                hi = st.hi.at[0:2].set(pr.hi)
+                return poseidon2_permute(type(st)(lo, hi)), None
+            out, _ = jax.lax.scan(body, state, pairs)
+            return out
+
+        _chain_fn_cache["chunk"] = fn
+    return fn
+
+
+def derive_gammas_from_pairs(n_rows: int,
+                             pairs: List[Tuple[int, int]]) -> Tuple[int, int]:
+    """Two independent gammas = rate-2 overwrite-sponge digest of the
+    canonical pair stream: state <- 0; absorb (n_rows, n_pairs); then one
+    absorb+permute per (slot, value) pair, stream padded with (0, 0)
+    pairs to a multiple of GAMMA_CHUNK; gammas = final state lanes 0, 1.
+
+    Protocol v3 (round 5): the sponge CHAIN replaces the round-2 tree
+    digest because a chain is exactly what a VerifierAir trace can
+    recompute with one 'w' row per pair — the in-trace hash-preimage
+    binding of an inner attestation's sequence (docs/SOUNDNESS.md,
+    "Recursion depth...").  Device-side the chain runs as a python loop
+    of jitted GAMMA_CHUNK scans with async dispatch (one compile total;
+    state never leaves the device until the final fetch)."""
     import numpy as np
 
     from .fields import gl
     from .fields.goldilocks import to_u64_np
-    from .ops.mmcs import _build_tree
 
-    seq: List[int] = [len(rows)]
-    for r in rows:
-        for s, v in canonical_slots(r):
-            seq.append(s)
-            seq.append(v)
-    arr = np.zeros((-(-len(seq) // 4), 4), np.uint64)
-    arr.reshape(-1)[: len(seq)] = seq
-    n_leaves = 1 << (max(len(arr), 2) - 1).bit_length()
-    if n_leaves != len(arr):
-        arr = np.vstack([arr, np.zeros((n_leaves - len(arr), 4), np.uint64)])
-    root = to_u64_np(_build_tree(gl.from_u64(arr))[-1][0])
-    g1, g2 = int(root[0]), int(root[1])
-    return (g1 or 1, g2 or 1)
+    n_pairs = len(pairs)
+    npad = (-n_pairs) % GAMMA_CHUNK
+    padded = np.zeros((n_pairs + npad, 2), np.uint64)
+    if n_pairs:
+        padded[:n_pairs] = np.asarray(pairs, np.uint64)
+
+    from .ops.poseidon2 import poseidon2_permute
+
+    head = np.zeros((WIDTH,), np.uint64)
+    head[0], head[1] = n_rows, n_pairs
+    state = poseidon2_permute(gl.from_u64(head))
+    fn = _chain_chunk_fn()
+    for off in range(0, len(padded), GAMMA_CHUNK):
+        state = fn(state, gl.from_u64(padded[off:off + GAMMA_CHUNK]))
+    out = to_u64_np(state)
+    # a zero lane would degenerate the binding accumulator; map to 1
+    # (probability 2^-64 per lane — attest() would fail to build the
+    # matching exposure row in that measure-zero case)
+    return (int(out[0]) or 1, int(out[1]) or 1)
+
+
+def derive_gammas(rows: List[VRow]) -> Tuple[int, int]:
+    return derive_gammas_from_pairs(len(rows), sequence_pairs(rows))
+
+
+def pair_exponents(rows: List[VRow]) -> List[int]:
+    """Per-pair gamma exponent e_i = slot + 52*(R-1-row): the weight of
+    pair i in the accumulator finals, acc_k = sum_i v_i * gamma_k^e_i
+    (identical value to fold_accumulator's row-Horner form).  Depends
+    only on the schedule's SLOT STRUCTURE, never on values — the
+    compressed-recursion checker derives these from a shape template."""
+    R = len(rows)
+    return [s + SLOT_SHIFT * (R - 1 - ri)
+            for ri, r in enumerate(rows)
+            for s, _ in canonical_slots(r)]
+
+
+ACC_REG = 0   # the single register the compression segment uses
+
+
+def build_compression_rows(n_rows: int, pairs: List[Tuple[int, int]],
+                           exponents: List[int], gamma: Tuple[int, int],
+                           acc: Tuple[int, int]) -> List[VRow]:
+    """The in-trace recomputation of an INNER attestation's binding
+    (docs/SOUNDNESS.md "Recursion depth..."): one chain of rows that
+    (a) re-hashes the inner canonical pair stream with the same rate-2
+    sponge as derive_gammas_from_pairs, exposing the final digest
+    canonically equal to the inner (gamma1, gamma2), and (b) re-folds
+    both accumulator finals via one ext FMA per pair,
+        ACC = (v_i, 0) * (W1_i, W2_i) + ACC,
+    asserting ACC == (acc1, acc2) at the end.  The pair values ride as
+    PRIVATE 'w'-row lanes (hash-pinned); the weights W_k = gamma_k^e_i
+    are canonical loads the checker recomputes from the slot template.
+
+    Appended to an outer verification schedule, these rows replace the
+    checker's host-side re-marshal of the inner schedule — the analogue
+    of the reference folding the inner verification into the outer
+    circuit (/root/reference/src/p3/verifier.rs:100-240)."""
+    g1, g2 = gamma
+    rows: List[VRow] = []
+    # header: chain start binding (n_rows, n_pairs); same row initializes
+    # ACC = 0*0+0 from BOUND zero loads (the prover cannot pick the start)
+    rows.append(VRow(sel="l",
+                     absorbed=((0, n_rows % P), (1, len(pairs) % P)),
+                     la=ZERO2, lb=ZERO2, lc=ZERO2, dst=ACC_REG))
+    npad = (-len(pairs)) % GAMMA_CHUNK
+    padded = list(pairs) + [(0, 0)] * npad
+    w1 = w2 = None
+    for i, (s, v) in enumerate(padded):
+        if i < len(pairs):
+            e = exponents[i]
+            w1, w2 = pow(g1, e, P), pow(g2, e, P)
+        else:
+            w1 = w2 = 0          # pad pairs contribute 0 to both folds
+        rows.append(VRow(sel="w", priv=(s % P, v % P), lb=(w1, w2),
+                         pd=ACC_REG, dst=ACC_REG))
+    # the last chain row exposes the digest == the inner gammas
+    rows[-1].exposed = ((0, g1 % P), (1, g2 % P))
+    # terminal binding: ACC == (acc1, acc2)
+    rows.append(VRow(sel="a", pa=ACC_REG, lb=ONE2, lc=ZERO2, dst=ACC_REG,
+                     assert_val=(acc[0] % P, acc[1] % P)))
+    return rows
+
+
+def make_zero_proof(config) -> Proof:
+    """A shape-true all-zeros Proof for `config`: the value-free template
+    the compressed-recursion checker feeds build_verification_schedule to
+    recover an inner schedule's SLOT STRUCTURE (slots, row boundaries,
+    control bits) without the target proof's bytes.  Satisfies
+    errors.check_proof_shape by construction."""
+    from .proof import (BatchOpening, CommitPhaseProofStep, Commitment,
+                        Commitments, FriProof, OpenedValues, Proof,
+                        QueryProof, TwoAdicFriPcsProof)
+
+    fc = config.fri_config
+    W = config.trace_width
+    s2w = config.stage2_width
+    nchunks = 1 << config.log_quotient_degree
+    n_phases = config.log_trace_height
+    log_max = config.degree_bits + fc.log_blowup
+    Z = (0, 0)
+
+    def commit():
+        return Commitment([0, 0, 0, 0])
+
+    def path(depth):
+        return [[0, 0, 0, 0] for _ in range(depth)]
+
+    def batches():
+        out = [BatchOpening(opened_values=[[0] * W],
+                            opening_proof=path(log_max))]
+        if s2w:
+            out.append(BatchOpening(opened_values=[[0] * s2w],
+                                    opening_proof=path(log_max)))
+        out.append(BatchOpening(
+            opened_values=[[0] * EXT_DEGREE for _ in range(nchunks)],
+            opening_proof=path(log_max)))
+        return out
+
+    fri = FriProof(
+        commit_phase_commits=[commit() for _ in range(n_phases)],
+        query_proofs=[
+            QueryProof(commit_phase_openings=[
+                CommitPhaseProofStep(sibling_value=Z,
+                                     opening_proof=path(n_phases - l))
+                for l in range(n_phases)])
+            for _ in range(fc.num_queries)],
+        final_poly=Z,
+        pow_witness=0,
+    )
+    return Proof(
+        commitments=Commitments(
+            trace=commit(), quotient_chunks=commit(),
+            stage2=commit() if s2w else None),
+        opened_values=OpenedValues(
+            trace_local=[Z] * W, trace_next=[Z] * W,
+            quotient_chunks=[[Z] * EXT_DEGREE for _ in range(nchunks)],
+            stage2_local=[Z] * s2w if s2w else None,
+            stage2_next=[Z] * s2w if s2w else None),
+        opening_proof=TwoAdicFriPcsProof(
+            fri_proof=fri,
+            query_openings=[batches() for _ in range(fc.num_queries)]),
+        degree_bits=config.degree_bits,
+    )
 
 
 def fold_accumulator(rows: List[VRow], gamma: Tuple[int, int]):
@@ -1008,20 +1232,26 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
     # --- chain-state resolution ------------------------------------------
     absorbed = np.zeros((R, WIDTH), np.uint64)
     m_arr = np.zeros((height, WIDTH), np.uint64)
-    sel_arr = np.zeros((height, 5), np.uint64)   # t, c, l, f, a
+    ov_arr = np.zeros((R, WIDTH), bool)          # preset-lane override
+    sel_arr = np.zeros((height, 6), np.uint64)   # t, c, l, f, a, w
     bcol = np.zeros((height,), np.uint64)
     chains: List[List[int]] = []
     for i, r in enumerate(rows):
-        sel_arr[i, "tclfa".index(r.sel)] = 1
+        sel_arr[i, "tclfaw".index(r.sel)] = 1
         bcol[i] = r.b
         for lane, v in r.absorbed:
             absorbed[i, lane] = v % P
             m_arr[i, lane] = 1
         if r.sel == "f":
             absorbed[i, :4] = f_lanes[i]       # preset lanes (NOT m-masked)
+        if r.sel == "w":
+            # private pair on lanes 0..1 (NOT m-masked: chain-pinned)
+            absorbed[i, 0] = r.priv[0] % P
+            absorbed[i, 1] = r.priv[1] % P
+            ov_arr[i, 0:2] = True
         if r.sel in ("l", "f"):
             chains.append([i])
-        elif r.sel in ("t", "c"):
+        elif r.sel in ("t", "c", "w"):
             assert chains, "schedule must open with a chain start"
             chains[-1].append(i)
         # 'a' rows join no chain; states stay zero
@@ -1039,13 +1269,16 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
         else:
             pouts = out_np[np.asarray([c[k - 1] for c in live])]
             is_c = sel_arr[idxs, 1] == 1
-            base = np.where((sel_arr[idxs, 0] == 1)[:, None], pouts, 0)
+            carries = ((sel_arr[idxs, 0] == 1)
+                       | (sel_arr[idxs, 5] == 1))      # 't' and 'w' rows
+            base = np.where(carries[:, None], pouts, 0)
             dig = pouts[:, :4]
             b_here = bcol[idxs] == 1
             left = np.where((is_c & ~b_here)[:, None], dig, base[:, 0:4])
             right = np.where((is_c & b_here)[:, None], dig, base[:, 4:8])
             base = np.concatenate([left, right, base[:, 8:]], axis=1)
-            ins = np.where(m_arr[idxs] == 1, absorbed[idxs], base)
+            ins = np.where((m_arr[idxs] == 1) | ov_arr[idxs],
+                           absorbed[idxs], base)
         states_np[idxs] = ins
         batch = np.zeros((n_chains, WIDTH), np.uint64)
         batch[: len(idxs)] = ins
@@ -1060,13 +1293,14 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
     def col(c):
         return c - CORE_W
 
-    blk[:, col(SEL_T):col(SEL_T) + 5] = sel_arr
+    blk[:, col(SEL_T):col(SEL_T) + 5] = sel_arr[:, :5]
+    blk[:, col(SEL_W)] = sel_arr[:, 5]
     blk[:, col(B_COL)] = bcol
     blk[:, col(M_OFF):col(M_OFF) + WIDTH] = m_arr
     for i, r in enumerate(rows):
         for lane, _ in r.exposed:
             blk[i, col(MO_OFF) + lane] = 1
-        if r.sel == "a":
+        if r.dst >= 0:
             if r.pa >= 0:
                 blk[i, col(PA_OFF) + r.pa] = 1
             if r.pb >= 0:

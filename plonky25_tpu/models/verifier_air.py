@@ -29,6 +29,25 @@ Two new row types join t/c/l:
       evals) feed the Merkle hashing without the checker ever computing
       them: binding by adjacency instead of by accumulator.
 
+  'w' (witness-fold, round 5 — the in-trace recursion compression row,
+      docs/SOUNDNESS.md "Recursion depth"): a chain-CONTINUE hash row
+      whose lanes 0..1 carry one PRIVATE (slot, value) pair of an INNER
+      attestation's canonical sequence — absorbed into the running
+      sponge (lanes 2..11 copy from the previous row's output) but NOT
+      accumulator-bound; the same row performs one ext FMA
+      `ACC = (v, 0) * (W1, W2) + ACC` whose ua operand is row-locally
+      constrained equal to lane 1 (the value) and whose ub is a
+      CANONICAL load of the per-pair weights W_k = gamma_inner_k ^
+      (slot + 52*(R-1-row)).  A run of 'w' rows therefore recomputes,
+      inside the trace, BOTH halves of an inner attestation's binding:
+      the chain's final digest (exposed, canonically equal to the inner
+      gammas — hash-preimage binding) and the slot-weighted accumulator
+      finals (asserted equal to the inner acc) — so checking a
+      recursive attestation needs no host-side re-fold of the inner
+      schedule.  The witnessed pair values are pinned solely by the
+      digest equality (collision resistance of Poseidon2), exactly as
+      Merkle leaves are.
+
 Registers copy across rows unless written (pc one-hot doubles as the copy
 exemption), so values transit hash-row spans untouched.
 
@@ -95,12 +114,14 @@ MR_OFF = MLC_COL + 1
 PACK1_COL = MR_OFF + NUM_REGS
 PACK2_COL = PACK1_COL + 1
 ACC_OFF = PACK2_COL + 1           # acc1, acc2
-NUM_COLS = ACC_OFF + 2
+SEL_W = ACC_OFF + 2               # 'w': witness-fold row (appended r5)
+NUM_COLS = SEL_W + 1
 
 # pack bit orders (fixed; injective given booleanity)
 PACK1_BITS = ([SEL_T, SEL_C, SEL_L, SEL_F, SEL_A, B_COL]
               + list(range(M_OFF, M_OFF + WIDTH))
-              + list(range(MO_OFF, MO_OFF + WIDTH)))            # 30 bits
+              + list(range(MO_OFF, MO_OFF + WIDTH))
+              + [SEL_W])                                        # 31 bits
 PACK2_BITS = (list(range(PA_OFF, PA_OFF + NUM_REGS))
               + list(range(PB_OFF, PB_OFF + NUM_REGS))
               + list(range(PD_OFF, PD_OFF + NUM_REGS))
@@ -173,6 +194,7 @@ class VerifierAir(Air):
         # ---- control columns -------------------------------------------
         sel_t, sel_c, sel_l = seg(L, SEL_T, 1), seg(L, SEL_C, 1), seg(L, SEL_L, 1)
         sel_f, sel_a = seg(L, SEL_F, 1), seg(L, SEL_A, 1)
+        sel_w = seg(L, SEL_W, 1)
         b = seg(L, B_COL, 1)
         m = seg(L, M_OFF, WIDTH)
         mo = seg(L, MO_OFF, WIDTH)
@@ -180,7 +202,7 @@ class VerifierAir(Air):
 
         n_sel_t, n_sel_c = seg(N, SEL_T, 1), seg(N, SEL_C, 1)
         n_sel_l, n_sel_f = seg(N, SEL_L, 1), seg(N, SEL_F, 1)
-        n_sel_a = seg(N, SEL_A, 1)
+        n_sel_a, n_sel_w = seg(N, SEL_A, 1), seg(N, SEL_W, 1)
         n_b = seg(N, B_COL, 1)
         n_m = seg(N, M_OFF, WIDTH)
         n_mo = seg(N, MO_OFF, WIDTH)
@@ -188,7 +210,8 @@ class VerifierAir(Air):
         n_out = seg(N, OUT_OFF, WIDTH)
 
         # booleanity of every packed bit (injective packing)
-        bits_l = ops.concat([sel_t, sel_c, sel_l, sel_f, sel_a, b, m, mo,
+        bits_l = ops.concat([sel_t, sel_c, sel_l, sel_f, sel_a, sel_w, b,
+                             m, mo,
                              seg(L, PA_OFF, NUM_REGS),
                              seg(L, PB_OFF, NUM_REGS),
                              seg(L, PD_OFF, NUM_REGS),
@@ -209,10 +232,13 @@ class VerifierAir(Air):
                 tot = tj if tot is None else ops.add(tot, tj)
             folder.assert_zero(ops.sub(seg(L, pcol, 1), tot))
 
-        active = ops.add(ops.add(ops.add(ops.add(sel_t, sel_c), sel_l),
-                                 sel_f), sel_a)
-        n_active = ops.add(ops.add(ops.add(ops.add(n_sel_t, n_sel_c),
-                                           n_sel_l), n_sel_f), n_sel_a)
+        active = ops.add(ops.add(ops.add(ops.add(ops.add(sel_t, sel_c),
+                                                 sel_l), sel_f), sel_a),
+                         sel_w)
+        n_active = ops.add(ops.add(ops.add(ops.add(ops.add(n_sel_t,
+                                                           n_sel_c),
+                                                   n_sel_l), n_sel_f),
+                                   n_sel_a), n_sel_w)
         # active rows form a PREFIX (interior-padding forgery guard; the
         # round-2 advisor finding — still required even with the control
         # plane accumulator-bound, because inactive rows do not shift the
@@ -255,10 +281,26 @@ class VerifierAir(Air):
         folder.when_transition().assert_zero(
             ops.mul(rep(n_sel_f, 8), take(n_in, np.arange(4, WIDTH))))
 
-        # first row: a chain start ('l'), never 'f'/'a'
+        # 'w' rows: sponge-chain continue with 2 private absorb lanes —
+        # lanes 2..11 copy from the previous row's output (overwrite-rate-2
+        # duplex); lanes 0..1 are FREE witness (pinned only by the chain's
+        # final digest exposure).  The row's FMA ua operand is tied to
+        # lane 1 (the pair VALUE), making the hashed value and the folded
+        # value the same trace cell family by construction.
+        folder.when_transition().assert_zero(
+            ops.mul(rep(n_sel_w, 10),
+                    ops.sub(take(n_in, np.arange(2, WIDTH)),
+                            take(out_d, np.arange(2, WIDTH)))))
+        ua_l = seg(L, UA_OFF, 2)
+        folder.assert_zero(
+            ops.mul(sel_w, ops.sub(take(ua_l, [0]), take(in_v, [1]))))
+        folder.assert_zero(ops.mul(sel_w, take(ua_l, [1])))
+
+        # first row: a chain start ('l'), never 'f'/'a'/'w'
         folder.when_first_row().assert_zero(
             ops.mul(ops.sub(one, m), in_v))
-        folder.when_first_row().assert_zero(ops.concat([sel_f, sel_a]))
+        folder.when_first_row().assert_zero(
+            ops.concat([sel_f, sel_a, sel_w]))
 
         # ---- algebra: FMA + routing + copy ------------------------------
         R_l = seg(L, R_OFF, 2 * NUM_REGS)

@@ -874,7 +874,19 @@ def prove_on_device(air: Air, trace_rows,
            air.stage2_width(), air.num_challenges())
     p = _prover_cache.get(key)
     if p is None:
-        p = TpuProver(air, log_n, fri_config)
+        # auto-segment the quotient eval when the (W x q_size) ext
+        # working set would not fit HBM comfortably — the recursion-
+        # compressed outer VerifierAir trace (2^19 x 618, r5) needs ~16
+        # segments; small shapes keep the unsegmented single-dispatch
+        # path.  Bit-identical either way (tests/test_tpu_prover.py
+        # chunked-quotient equality).
+        lqd = log2_ceil(getattr(air, "quotient_degree", lambda: 1)())
+        q_size = 1 << (log_n + lqd)
+        ws = air.width() * q_size * 8 * 2 * 2    # locals+nexts, ext
+        chunks = 1
+        while ws // chunks > (1 << 31) and chunks < q_size:
+            chunks *= 2
+        p = TpuProver(air, log_n, fri_config, quotient_eval_chunks=chunks)
         # concurrent warmup only pays where compiles go to the remote TPU
         # service; on CPU the thread pool just serializes on one core
         if warmup and jax.default_backend() == "tpu":

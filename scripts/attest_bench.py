@@ -3,7 +3,7 @@
     python scripts/attest_bench.py [--small]
 
 Builds the verification hash-trace of artifacts/proof_fibonacci.json
-(hash rows + algebra FMA rows -> VerifierAir trace, 617 cols), proves it
+(hash rows + algebra FMA rows -> VerifierAir trace, NUM_COLS wide), proves it
 with the TpuProver, and checks the bundle with the device verifier.
 `--small` runs a reduced fib(8)/2-query workload first (quick smoke).
 """
@@ -23,6 +23,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from plonky25_tpu.attest import attest, check_attestation
+from plonky25_tpu.models.verifier_air import NUM_COLS
 from plonky25_tpu.models.fibonacci import FibonacciAir, fibonacci_trace
 from plonky25_tpu.proof import FriConfig, load_proof
 
@@ -34,7 +35,7 @@ def run(proof, fc, att_fc, label):
     bundle = attest(proof, FibonacciAir(), fc, att_fri_config=att_fc)
     t_att = time.time() - t0
     print(f"{label}: attest {t_att:.1f}s "
-          f"(stark 2^{bundle.stark.degree_bits} x 617, "
+          f"(stark 2^{bundle.stark.degree_bits} x {NUM_COLS}, "
           f"{bundle.n_rows} active rows)", flush=True)
     t0 = time.time()
     ok = check_attestation(bundle, proof, FibonacciAir(), fc)
@@ -58,7 +59,7 @@ def run_many(n: int):
     bundle = attest_many(proofs, FibonacciAir(), fc, att_fri_config=att_fc)
     t_att = time.time() - t0
     print(f"many({n}): attest {t_att:.1f}s "
-          f"(stark 2^{bundle.stark.degree_bits} x 617, "
+          f"(stark 2^{bundle.stark.degree_bits} x {NUM_COLS}, "
           f"{bundle.n_rows} rows, {n / t_att:.2f} verifications "
           "attested/s)", flush=True)
     t0 = time.time()

@@ -192,6 +192,8 @@ def test_checker_uses_no_verifier_reexecution(schedule_parts, small_proof,
     bundle = A.AttestationBundle(
         stark=None, samples=list(samples), gamma=gamma, acc=acc,
         att_fri_config=ATT_FC, n_rows=len(rows))
+    # the statement digest is REQUIRED since r5 (fail-closed on absence)
+    bundle.statement = A.statement_digest(bundle, small_proof)
 
     calls = []
     monkeypatch.setattr(A, "refimpl_verify",
@@ -314,7 +316,7 @@ def test_attest_roundtrip_and_tamper(small_proof):
                    FriConfig(log_blowup=1, num_queries=3,
                              proof_of_work_bits=1))
 
-    # serialization round-trip re-checks (protocol v2)
+    # serialization round-trip re-checks (protocol v3)
     import json
 
     again = A.bundle_from_json(json.loads(json.dumps(
