@@ -321,6 +321,11 @@ def attest(proof: Proof, air, fri_config: FriConfig,
     Raises CannotAttest if the proof does not verify — a failed
     verification cannot be attested."""
     config = derive_config(proof, fri_config)
+    if getattr(config, "ext_degree", 2) != 2:
+        raise CannotAttest(
+            "attestation schedules are GF(p^2) programs (VerifierAir's "
+            "FMA rows); D=3 proofs verify via refimpl but cannot be "
+            "attested")
     samples = _record_verification(proof, air, fri_config,
                                    use_device_prover)
     rows = ap.build_verification_schedule(proof, config, air, samples)
@@ -347,6 +352,8 @@ def _structural_ok(proof: Proof, air, fri_config: FriConfig,
         check_proof_shape(proof, config)
     except InvalidProofShape:
         return False
+    if getattr(config, "ext_degree", 2) != 2:
+        return False    # the attestation machinery is a GF(p^2) machine
     if len(proof.opened_values.trace_local) != air.width():
         return False
     if config.stage2_width != air.stage2_width():

@@ -48,7 +48,11 @@ def check_proof_shape(proof, config) -> None:
     fold level, sibling-value and final-poly arity.  A proof that passes
     this check cannot crash pack_witness; any deeper disagreement is a
     VALUE problem and becomes a False verdict, never an exception."""
-    from .constants import DIGEST_ELEMS, EXT_DEGREE
+    from .constants import DIGEST_ELEMS
+
+    # extension degree is config-carried (D=2 reference family; D=3 on
+    # the refimpl path); every ext-arity check below follows it
+    EXT_DEGREE = getattr(config, "ext_degree", 2)
 
     ov = proof.opened_values
     op = proof.opening_proof

@@ -17,7 +17,7 @@ from typing import List, Optional, Tuple
 
 from .utils.bits import log2_ceil
 
-Ext = Tuple[int, int]  # GF(p^2) element (c0, c1)
+Ext = Tuple[int, ...]  # extension element: (c0, c1) for D=2, (c0, c1, c2) for D=3
 
 
 @dataclass
@@ -114,6 +114,10 @@ class P3Config:
     quotient_opened_values_len: int
     degree_bits: int
     stage2_width: int = 0
+    # extension degree of the proof family: 2 (the reference's, and the
+    # only degree the DEVICE pipeline implements) or 3 (refimpl
+    # prove/verify path; src/p3/extension.rs carries both formula sets)
+    ext_degree: int = 2
 
 
 # ---------------------------------------------------------------- JSON loading
@@ -127,7 +131,7 @@ def _val(node) -> int:
 
 def _ext(node) -> Ext:
     vs = node["value"]
-    return (_val(vs[0]), _val(vs[1]))
+    return tuple(_val(v) for v in vs)
 
 
 def _commitment(node) -> Commitment:
@@ -216,7 +220,7 @@ def _val_j(v: int) -> dict:
 
 
 def _ext_j(e: Ext) -> dict:
-    return {"value": [_val_j(e[0]), _val_j(e[1])]}
+    return {"value": [_val_j(c) for c in e]}
 
 
 def _commitment_j(c: Commitment) -> dict:
@@ -316,6 +320,7 @@ def derive_config(proof: Proof, fri_config: FriConfig) -> P3Config:
             ),
             degree_bits=proof.degree_bits,
             stage2_width=len(proof.opened_values.stage2_local or []),
+            ext_degree=len(proof.opened_values.trace_local[0]),
         )
     except (IndexError, TypeError) as e:
         raise InvalidProofShape(

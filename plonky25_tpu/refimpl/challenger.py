@@ -45,10 +45,11 @@ class DuplexChallenger:
             self._duplex()
         return self.output_buffer.pop()
 
-    def sample_ext(self):
-        c0 = self.sample()
-        c1 = self.sample()
-        return (c0, c1)
+    def sample_ext(self, d: int = 2):
+        """One extension sample = d base samples, low coefficient first
+        (challenger.rs:150-157 for d=2; the d=3 family generalizes the
+        same convention)."""
+        return tuple(self.sample() for _ in range(d))
 
     def sample_bits(self, bits: int) -> int:
         return self.sample() & ((1 << bits) - 1)

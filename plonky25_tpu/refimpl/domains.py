@@ -31,9 +31,9 @@ class TwoAdicMultiplicativeCoset:
     def gen(self) -> int:
         return Gl.two_adic_generator(self.log_n)
 
-    def next_point(self, x):
+    def next_point(self, x, ext=Gl2):
         """x * g (ext * base), two_adic.rs:39-46."""
-        return Gl2.mul_base(x, self.gen())
+        return ext.mul_base(x, self.gen())
 
     @staticmethod
     def natural_domain_for_degree(log_n_max: int, degree: int) -> "TwoAdicMultiplicativeCoset":
@@ -59,24 +59,24 @@ class TwoAdicMultiplicativeCoset:
             for i in range(num_chunks)
         ]
 
-    def selectors_at_point(self, point) -> LagrangeSelectors:
+    def selectors_at_point(self, point, ext=Gl2) -> LagrangeSelectors:
         """Lagrange selectors from z_H(x) = x^(2^log_n) - 1 (two_adic.rs:92-122)."""
-        unshifted = Gl2.mul_base(point, Gl.inv(self.shift))
-        z_h = Gl2.sub_base(Gl2.exp_power_of_2(unshifted, self.log_n), 1)
+        unshifted = ext.mul_base(point, Gl.inv(self.shift))
+        z_h = ext.sub_base(ext.exp_power_of_2(unshifted, self.log_n), 1)
         gen_inv = Gl.inv(self.gen())
-        up_minus_one = Gl2.sub_base(unshifted, 1)
-        up_minus_gen_inv = Gl2.sub_base(unshifted, gen_inv)
+        up_minus_one = ext.sub_base(unshifted, 1)
+        up_minus_gen_inv = ext.sub_base(unshifted, gen_inv)
         return LagrangeSelectors(
-            is_first_row=Gl2.div(z_h, up_minus_one),
-            is_last_row=Gl2.div(z_h, up_minus_gen_inv),
+            is_first_row=ext.div(z_h, up_minus_one),
+            is_last_row=ext.div(z_h, up_minus_gen_inv),
             is_transition=up_minus_gen_inv,
-            inv_zeroifier=Gl2.inv(z_h),
+            inv_zeroifier=ext.inv(z_h),
         )
 
-    def zp_at_point(self, point):
+    def zp_at_point(self, point, ext=Gl2):
         """(point/shift)^(2^log_n) - 1, ext (two_adic.rs:124-135)."""
-        unshifted = Gl2.mul_base(point, Gl.inv(self.shift))
-        return Gl2.sub_base(Gl2.exp_power_of_2(unshifted, self.log_n), 1)
+        unshifted = ext.mul_base(point, Gl.inv(self.shift))
+        return ext.sub_base(ext.exp_power_of_2(unshifted, self.log_n), 1)
 
     def zp_at_single_point(self, point: int) -> int:
         """Base-field variant (two_adic.rs:137-147)."""

@@ -61,6 +61,7 @@ class Gl2:
     """GF(p^2) = GF(p)[X]/(X^2 - 7), elements as (c0, c1) int tuples."""
 
     W = EXT_W
+    D = 2
 
     ZERO = (0, 0)
     ONE = (1, 0)
@@ -144,3 +145,107 @@ class Gl2:
             return (0, Gl.two_adic_generator(32))
         assert base is not None
         return (base, 0)
+
+
+class Gl3:
+    """GF(p^3) = GF(p)[X]/(X^3 - 7), elements as (c0, c1, c2) int tuples.
+
+    The int counterpart of fields/extension3.py (same reference formulas:
+    /root/reference/src/p3/extension.rs:330-390 Karatsuba mul, :473-532
+    adjugate inverse), with Gl2's exact static-method API so the refimpl
+    prover/verifier run degree-generically (ext_ops(d) selects the class).
+    X^3 - 7 is irreducible over Goldilocks (7 is a non-cube;
+    tests/test_extension.py::test_w_is_not_a_cube)."""
+
+    W = EXT_W
+    D = 3
+
+    ZERO = (0, 0, 0)
+    ONE = (1, 0, 0)
+    X = (0, 1, 0)
+
+    @staticmethod
+    def add(x, y):
+        return tuple((a + b) % P for a, b in zip(x, y))
+
+    @staticmethod
+    def sub(x, y):
+        return tuple((a - b) % P for a, b in zip(x, y))
+
+    @staticmethod
+    def neg(x):
+        return tuple((-a) % P for a in x)
+
+    @staticmethod
+    def add_base(x, b):
+        return ((x[0] + b) % P, x[1], x[2])
+
+    @staticmethod
+    def sub_base(x, b):
+        return ((x[0] - b) % P, x[1], x[2])
+
+    @staticmethod
+    def mul(x, y):
+        a0, a1, a2 = x
+        b0, b1, b2 = y
+        a0b0, a1b1, a2b2 = a0 * b0, a1 * b1, a2 * b2
+        c0 = (a0b0 + EXT_W * ((a1 + a2) * (b1 + b2) - a1b1 - a2b2)) % P
+        c1 = ((a0 + a1) * (b0 + b1) - a0b0 - a1b1 + EXT_W * a2b2) % P
+        c2 = ((a0 + a2) * (b0 + b2) - a0b0 - a2b2 + a1b1) % P
+        return (c0, c1, c2)
+
+    @staticmethod
+    def mul_base(x, b):
+        return tuple((a * b) % P for a in x)
+
+    @staticmethod
+    def square(x):
+        return Gl3.mul(x, x)
+
+    @staticmethod
+    def inv(x):
+        a0, a1, a2 = x
+        det = (a0 * a0 * a0 + EXT_W * a1 * a1 * a1
+               + EXT_W * EXT_W * a2 * a2 * a2
+               - 3 * EXT_W * a0 * a1 * a2) % P
+        s = Gl.inv(det)
+        return (
+            (a0 * a0 - EXT_W * a1 * a2) * s % P,
+            (EXT_W * a2 * a2 - a0 * a1) * s % P,
+            (a1 * a1 - a0 * a2) * s % P,
+        )
+
+    @staticmethod
+    def div(x, y):
+        return Gl3.mul(x, Gl3.inv(y))
+
+    @staticmethod
+    def exp_power_of_2(x, power_log: int):
+        for _ in range(power_log):
+            x = Gl3.mul(x, x)
+        return x
+
+    @staticmethod
+    def from_base(b: int):
+        return (b % P, 0, 0)
+
+    @staticmethod
+    def monomial(e: int):
+        cs = [0, 0, 0]
+        cs[e] = 1
+        return tuple(cs)
+
+    @staticmethod
+    def two_adic_generator(bits: int):
+        assert bits <= TWO_ADICITY, "D=3 ext generator needed only <= 32"
+        return (Gl.two_adic_generator(bits), 0, 0)
+
+
+def ext_ops(d: int):
+    """The int ext-ops class for extension degree d (the refimpl analogue
+    of the reference selecting by EXT_DEGREE, p3/constants.rs)."""
+    if d == 2:
+        return Gl2
+    if d == 3:
+        return Gl3
+    raise ValueError(f"unsupported extension degree {d}")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import List
 
 from ..air import Air, VerifierConstraintFolder
-from ..constants import GOLDILOCKS_P as P, EXT_DEGREE
+from ..constants import GOLDILOCKS_P as P
 from ..proof import (
     BatchOpening,
     Commitment,
@@ -42,7 +42,7 @@ from ..utils.bits import log2_ceil, log2_strict, reverse_bits_len
 from .challenger import DuplexChallenger
 from .commit import compress, hash_iter_slices
 from .domains import TwoAdicMultiplicativeCoset
-from .field import Gl, Gl2
+from .field import Gl, Gl2, ext_ops
 from .ntt import coset_intt, coset_ntt
 
 
@@ -91,20 +91,29 @@ def commit_matrix(evals_cols: List[List[int]], native_shift: int, log_blowup: in
     return MerkleTree(rows), rows
 
 
-def _eval_poly_ext(coeffs: List[int], z) -> tuple:
+def _eval_poly_ext(coeffs: List[int], z, E=Gl2) -> tuple:
     """Horner evaluation of a base-coefficient poly at an ext point."""
-    acc = Gl2.ZERO
+    acc = E.ZERO
     for c in reversed(coeffs):
-        acc = Gl2.add_base(Gl2.mul(acc, z), c)
+        acc = E.add_base(E.mul(acc, z), c)
     return acc
 
 
-def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
+def prove(air: Air, trace: List[List[int]], fri_config: FriConfig,
+          ext_degree: int = 2) -> Proof:
     """trace: row-major list of rows (height x width), height a power of 2.
 
     Numeric numpy arrays are accepted and converted to python ints (numpy
-    uint64 scalars overflow silently in this module's bigint math)."""
+    uint64 scalars overflow silently in this module's bigint math).
+
+    ext_degree selects the proof family's extension field: 2 (default,
+    the reference's GF(p^2) family, bit-exact vs the golden artifact) or
+    3 (GF(p^3), X^3-7; refimpl-only — the device pipeline implements
+    D=2, so D=3 proofs verify via refimpl.verifier.verify)."""
     import numpy as _np
+
+    E = ext_ops(ext_degree)
+    D = E.D
 
     if isinstance(trace, _np.ndarray):
         trace = trace.tolist()
@@ -130,7 +139,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
 
     check_multistage_consistency(air)
     s2w = air.stage2_width()
-    challenges = [ch.sample_ext() for _ in range(air.num_challenges())]
+    challenges = [ch.sample_ext(D) for _ in range(air.num_challenges())]
     s2_tree = s2_lde_rows = None
     s2_cols: List[List[int]] = []
     if s2w:
@@ -140,7 +149,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         s2_tree, s2_lde_rows = commit_matrix(s2_cols, 1, log_blowup)
         ch.observe_many(s2_tree.root)
 
-    alpha = ch.sample_ext()
+    alpha = ch.sample_ext(D)
 
     # ---- quotient -------------------------------------------------------
     trace_domain = TwoAdicMultiplicativeCoset(log_n=log_n, shift=1)
@@ -163,7 +172,8 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         s2_next_cols.append(coset_ntt(coeffs, 7 * g_t % P))
 
     sels = [
-        trace_domain.selectors_at_point((7 * pow(g_q, i, P) % P, 0))
+        trace_domain.selectors_at_point(
+            E.from_base(7 * pow(g_q, i, P) % P), ext=E)
         for i in range(q_size)
     ]
 
@@ -175,49 +185,47 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
     from .verifier import IntExtOps
 
     def _vec(vals):  # list of ints -> ext over points
-        return (_np.asarray(vals, dtype=object), _np.asarray([0] * len(vals), dtype=object))
+        z = _np.asarray([0] * len(vals), dtype=object)
+        return (_np.asarray(vals, dtype=object),) + (z,) * (D - 1)
 
     main = _MainRow(
         [_vec(local_cols[c]) for c in range(width)],
         [_vec(next_cols[c]) for c in range(width)],
     )
-    main.local_vec = (
-        _np.asarray(local_cols, dtype=object),
-        _np.zeros((width, q_size), dtype=object),
-    )
-    main.next_vec = (
-        _np.asarray(next_cols, dtype=object),
-        _np.zeros((width, q_size), dtype=object),
-    )
+    main.local_vec = ((_np.asarray(local_cols, dtype=object),)
+                      + (_np.zeros((width, q_size), dtype=object),) * (D - 1))
+    main.next_vec = ((_np.asarray(next_cols, dtype=object),)
+                     + (_np.zeros((width, q_size), dtype=object),) * (D - 1))
     if s2w:
         main.stage2_local = [_vec(s2_local_cols[c]) for c in range(s2w)]
         main.stage2_next = [_vec(s2_next_cols[c]) for c in range(s2w)]
         main.stage2_local_vec = (
-            _np.asarray(s2_local_cols, dtype=object),
-            _np.zeros((s2w, q_size), dtype=object),
-        )
+            (_np.asarray(s2_local_cols, dtype=object),)
+            + (_np.zeros((s2w, q_size), dtype=object),) * (D - 1))
         main.stage2_next_vec = (
-            _np.asarray(s2_next_cols, dtype=object),
-            _np.zeros((s2w, q_size), dtype=object),
-        )
+            (_np.asarray(s2_next_cols, dtype=object),)
+            + (_np.zeros((s2w, q_size), dtype=object),) * (D - 1))
+    def _sel_vec(attr):
+        return tuple(
+            _np.asarray([getattr(s, attr)[k] for s in sels], dtype=object)
+            for k in range(D))
+
     folder = VerifierConstraintFolder(
-        ops=IntExtOps(point_ndim=1),
+        ops=IntExtOps(point_ndim=1, ext=E),
         main=main,
-        is_first_row=(_np.asarray([s.is_first_row[0] for s in sels], dtype=object),
-                      _np.asarray([s.is_first_row[1] for s in sels], dtype=object)),
-        is_last_row=(_np.asarray([s.is_last_row[0] for s in sels], dtype=object),
-                     _np.asarray([s.is_last_row[1] for s in sels], dtype=object)),
-        is_transition=(_np.asarray([s.is_transition[0] for s in sels], dtype=object),
-                       _np.asarray([s.is_transition[1] for s in sels], dtype=object)),
+        is_first_row=_sel_vec("is_first_row"),
+        is_last_row=_sel_vec("is_last_row"),
+        is_transition=_sel_vec("is_transition"),
         alpha=alpha,
-        publics={k: Gl2.from_base(v % P)
+        publics={k: E.from_base(v % P)
                  for k, v in air.public_values().items()},
         challenges=list(challenges),
     )
     air.eval(folder)
-    acc0, acc1 = folder.accumulator
+    acc_comps = folder.accumulator
     quotient_evals = [
-        Gl2.mul((int(acc0[i]), int(acc1[i])), sels[i].inv_zeroifier)
+        E.mul(tuple(int(comp[i]) for comp in acc_comps),
+              sels[i].inv_zeroifier)
         for i in range(q_size)
     ]
 
@@ -227,7 +235,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
     chunk_cols: List[List[List[int]]] = []  # [chunk][ext_coeff] -> evals
     for ci in range(quotient_degree):
         vals = [quotient_evals[ci + j * quotient_degree] for j in range(q_size // quotient_degree)]
-        chunk_cols.append([[v[e] for v in vals] for e in range(EXT_DEGREE)])
+        chunk_cols.append([[v[e] for v in vals] for e in range(D)])
 
     # commit all chunks as one batch matrix?  plonky3 commits the quotient
     # chunks as SEPARATE matrices in one MMCS batch; with equal heights the
@@ -244,37 +252,39 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
     quotient_commit = quotient_tree.root
 
     ch.observe_many(quotient_commit)
-    zeta = ch.sample_ext()
-    zeta_next = (Gl2.mul_base(zeta, g_t))
+    zeta = ch.sample_ext(D)
+    zeta_next = (E.mul_base(zeta, g_t))
 
     # ---- opened values ---------------------------------------------------
     trace_coeffs = [coset_intt(col, 1) for col in trace_cols]
     s2_coeffs = [coset_intt(col, 1) for col in s2_cols]
     opened = OpenedValues(
-        trace_local=[_eval_poly_ext(c, zeta) for c in trace_coeffs],
-        trace_next=[_eval_poly_ext(c, zeta_next) for c in trace_coeffs],
+        trace_local=[_eval_poly_ext(c, zeta, E) for c in trace_coeffs],
+        trace_next=[_eval_poly_ext(c, zeta_next, E) for c in trace_coeffs],
         quotient_chunks=[
             [
-                _eval_poly_ext(coset_intt(chunk_cols[ci][e], q_chunk_shifts[ci]), zeta)
-                for e in range(EXT_DEGREE)
+                _eval_poly_ext(
+                    coset_intt(chunk_cols[ci][e], q_chunk_shifts[ci]),
+                    zeta, E)
+                for e in range(D)
             ]
             for ci in range(quotient_degree)
         ],
-        stage2_local=([_eval_poly_ext(c, zeta) for c in s2_coeffs]
+        stage2_local=([_eval_poly_ext(c, zeta, E) for c in s2_coeffs]
                       if s2w else None),
-        stage2_next=([_eval_poly_ext(c, zeta_next) for c in s2_coeffs]
+        stage2_next=([_eval_poly_ext(c, zeta_next, E) for c in s2_coeffs]
                      if s2w else None),
     )
 
     # ---- FRI ---------------------------------------------------------------
-    alpha_fri = ch.sample_ext()
+    alpha_fri = ch.sample_ext(D)
     log_max_height = log_n + log_blowup
     n_max = 1 << log_max_height
 
     # reduced-opening input vector at max height (bit-rev order), built with
     # the verifier's exact term order (verifier.rs:296-344)
-    ro = [Gl2.ZERO] * n_max
-    alpha_pow = Gl2.ONE
+    ro = [E.ZERO] * n_max
+    alpha_pow = E.ONE
     terms = []
     for c in range(width):
         terms.append((lambda i, c=c: trace_lde_rows[i][c], zeta, opened.trace_local[c]))
@@ -285,8 +295,8 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
     for c in range(s2w):
         terms.append((lambda i, c=c: s2_lde_rows[i][c], zeta_next, opened.stage2_next[c]))
     for ci in range(quotient_degree):
-        for e in range(EXT_DEGREE):
-            col = ci * EXT_DEGREE + e
+        for e in range(D):
+            col = ci * D + e
             terms.append((lambda i, col=col: q_rows[i][col], zeta,
                           opened.quotient_chunks[ci][e]))
 
@@ -295,10 +305,10 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
           for i in range(n_max)]
     for getter, z, p_at_z in terms:
         for i in range(n_max):
-            num = Gl2.add_base(Gl2.neg(p_at_z), getter(i))
-            den = Gl2.add_base(Gl2.neg(z), xs[i])
-            ro[i] = Gl2.add(ro[i], Gl2.mul(alpha_pow, Gl2.div(num, den)))
-        alpha_pow = Gl2.mul(alpha_pow, alpha_fri)
+            num = E.add_base(E.neg(p_at_z), getter(i))
+            den = E.add_base(E.neg(z), xs[i])
+            ro[i] = E.add(ro[i], E.mul(alpha_pow, E.div(num, den)))
+        alpha_pow = E.mul(alpha_pow, alpha_fri)
 
     # fold loop (verifier.rs:440-516 mirrored)
     commit_phase_commits: List[Commitment] = []
@@ -309,7 +319,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
     g1 = Gl.two_adic_generator(1)  # == p - 1 == -1
     for log_folded in range(log_max_height - 1, log_blowup - 1, -1):
         rows = [
-            [u[2 * j][0], u[2 * j][1], u[2 * j + 1][0], u[2 * j + 1][1]]
+            list(u[2 * j]) + list(u[2 * j + 1])
             for j in range(1 << log_folded)
         ]
         tree = MerkleTree(rows)
@@ -317,7 +327,7 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
         commit_phase_vectors.append(list(u))
         commit_phase_commits.append(Commitment(value=list(tree.root)))
         ch.observe_many(tree.root)
-        beta = ch.sample_ext()
+        beta = ch.sample_ext(D)
         betas.append(beta)
 
         g_cur = Gl.two_adic_generator(log_folded + 1)
@@ -326,9 +336,9 @@ def prove(air: Air, trace: List[List[int]], fri_config: FriConfig) -> Proof:
             e0, e1 = u[2 * j], u[2 * j + 1]
             x0 = pow(g_cur, reverse_bits_len(2 * j, log_folded + 1), P)
             x1 = x0 * g1 % P
-            num = Gl2.mul(Gl2.sub(e1, e0), Gl2.sub_base(beta, x0))
+            num = E.mul(E.sub(e1, e0), E.sub_base(beta, x0))
             den_inv = Gl.inv((x1 - x0) % P)
-            nxt.append(Gl2.add(e0, Gl2.mul_base(num, den_inv)))
+            nxt.append(E.add(e0, E.mul_base(num, den_inv)))
         u = nxt
         # fold in lower-height reduced openings (none for a single batch
         # height, but keep the hook for generality)

@@ -14,82 +14,82 @@ from dataclasses import dataclass, field
 from typing import List
 
 from ..air import Air, VerifierConstraintFolder
-from ..constants import GOLDILOCKS_P as P, EXT_DEGREE
+from ..constants import GOLDILOCKS_P as P
 from ..proof import FriConfig, Proof, derive_config
 from ..utils.bits import log2_strict, reverse_bits_len
 from .challenger import DuplexChallenger
 from .commit import verify_batch
 from .domains import TwoAdicMultiplicativeCoset
-from .field import Gl, Gl2
+from .field import Gl, Gl2, ext_ops
 
 
 class IntExtOps:
-    """GF(p^2) ops adapter handed to the AIR folder (plain-int backend).
+    """Extension-field ops adapter handed to the AIR folder (plain-int
+    backend), degree-generic: `ext` is Gl2 (default) or Gl3
+    (refimpl.field.ext_ops).
 
-    Values are (c0, c1) pairs whose components are python ints or numpy
-    OBJECT arrays of python ints - Gl2's formulas are plain +,*,% so they
-    work elementwise on object arrays, which is how wide AIRs (Keccak)
+    Values are D-tuples whose components are python ints or numpy OBJECT
+    arrays of python ints - the ext formulas are plain +,*,% so they work
+    elementwise on object arrays, which is how wide AIRs (Keccak)
     evaluate thousands of constraints without python-level per-bit loops.
 
     point_ndim: trailing axes that index evaluation points (0 when folding
     at a single zeta, 1 when the prover folds over a whole domain)."""
 
-    def __init__(self, point_ndim: int = 0):
+    def __init__(self, point_ndim: int = 0, ext=Gl2):
         self.point_ndim = point_ndim
+        self.E = ext
 
-    @staticmethod
-    def add(x, y):
-        return Gl2.add(x, y)
+    def add(self, x, y):
+        return self.E.add(x, y)
 
-    @staticmethod
-    def sub(x, y):
-        return Gl2.sub(x, y)
+    def sub(self, x, y):
+        return self.E.sub(x, y)
 
-    @staticmethod
-    def mul(x, y):
-        return Gl2.mul(x, y)
+    def mul(self, x, y):
+        return self.E.mul(x, y)
 
-    @staticmethod
-    def zero():
-        return Gl2.ZERO
+    def zero(self):
+        return self.E.ZERO
 
-    @staticmethod
-    def one():
-        return Gl2.ONE
+    def one(self):
+        return self.E.ONE
 
-    @staticmethod
-    def from_base(b):
-        return Gl2.from_base(b)
+    def from_base(self, b):
+        return self.E.from_base(b)
 
-    @staticmethod
-    def from_parts(a, b):
-        """a + X*b: two base trace columns as one GF(p^2) value (see
+    def from_parts(self, a, b, c=None):
+        """a + X*b (+ X^2*c): base trace columns as one ext value (see
         fields.extension.Ops.from_parts — valid at every point)."""
-        return Gl2.add(a, Gl2.mul(Gl2.X, b))
+        out = self.E.add(a, self.E.mul(self.E.X, b))
+        if c is not None:
+            x2 = self.E.mul(self.E.X, self.E.X)
+            out = self.E.add(out, self.E.mul(x2, c))
+        return out
 
     # ---- vector helpers (constraint axis = axis 0) ----------------------
-    @staticmethod
-    def stack(vals):
+    def stack(self, vals):
         import numpy as _np
 
-        c0 = _np.asarray([v[0] for v in vals], dtype=object)
-        c1 = _np.asarray([v[1] for v in vals], dtype=object)
-        return (c0, c1)
+        return tuple(
+            _np.asarray([v[k] for v in vals], dtype=object)
+            for k in range(self.E.D))
 
     @staticmethod
     def take(vec, idx):
         import numpy as _np
 
         idx = _np.asarray(idx)
-        return (vec[0][idx], vec[1][idx])
+        return tuple(comp[idx] for comp in vec)
 
     @staticmethod
     def concat(vals):
         """Concatenate along the constraint axis (axis 0)."""
         import numpy as _np
 
-        return (_np.concatenate([v[0] for v in vals], axis=0),
-                _np.concatenate([v[1] for v in vals], axis=0))
+        return tuple(
+            _np.concatenate([v[k] for v in vals], axis=0)
+            for k in range(len(vals[0])))
 
     def const_base(self, ints):
         import numpy as _np
@@ -98,25 +98,28 @@ class IntExtOps:
 
         c0 = _np.asarray([int(v) % _P for v in ints], dtype=object)
         c0 = c0.reshape(c0.shape + (1,) * self.point_ndim)
-        return (c0, c0 * 0)
+        return (c0,) + (c0 * 0,) * (self.E.D - 1)
 
     def fold_constraints(self, alpha, constraints):
         """acc = acc*alpha + c, flattening vector constraints in order."""
         import numpy as _np
 
-        acc = Gl2.ZERO
+        E = self.E
+        acc = E.ZERO
         for c in constraints:
             nd = _np.ndim(c[0])
             if nd <= self.point_ndim:
-                acc = Gl2.add(Gl2.mul(acc, alpha), c)
+                acc = E.add(E.mul(acc, alpha), c)
             else:
                 # leading constraint axes: fold rows in index order
-                c0 = c[0].reshape((-1,) + c[0].shape[nd - self.point_ndim:]) \
-                    if self.point_ndim else c[0].reshape(-1)
-                c1 = c[1].reshape((-1,) + c[1].shape[nd - self.point_ndim:]) \
-                    if self.point_ndim else c[1].reshape(-1)
-                for i in range(len(c0)):
-                    acc = Gl2.add(Gl2.mul(acc, alpha), (c0[i], c1[i]))
+                comps = [
+                    comp.reshape((-1,) + comp.shape[nd - self.point_ndim:])
+                    if self.point_ndim else comp.reshape(-1)
+                    for comp in c
+                ]
+                for i in range(len(comps[0])):
+                    acc = E.add(E.mul(acc, alpha),
+                                tuple(comp[i] for comp in comps))
         return acc
 
 
@@ -158,6 +161,10 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
     config = derive_config(proof, fri_config)
     tr = VerifyTrace()
     ch = challenger if challenger is not None else DuplexChallenger()
+    # extension degree follows the proof family (D=2: the reference's;
+    # D=3: refimpl-only, src/p3/extension.rs degree-3 formula arms)
+    E = ext_ops(config.ext_degree)
+    D = E.D
 
     degree = 1 << proof.degree_bits
     quotient_degree = 1 << config.log_quotient_degree
@@ -177,7 +184,7 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
         len(ov.trace_local) == air_width
         and len(ov.trace_next) == air_width
         and len(ov.quotient_chunks) == quotient_degree
-        and all(len(qc) == EXT_DEGREE for qc in ov.quotient_chunks)
+        and all(len(qc) == D for qc in ov.quotient_chunks)
         and len(ov.stage2_local or []) == s2w
         and len(ov.stage2_next or []) == s2w
         and (proof.commitments.stage2 is not None) == bool(s2w)
@@ -189,13 +196,13 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
     # sampled from the main-trace commitment, then the stage-2 commitment
     # is observed before alpha) --------------------------------------------
     ch.observe_many(proof.commitments.trace.value)
-    challenges = [ch.sample_ext() for _ in range(air.num_challenges())]
+    challenges = [ch.sample_ext(D) for _ in range(air.num_challenges())]
     if s2w:
         ch.observe_many(proof.commitments.stage2.value)
-    alpha = ch.sample_ext()
+    alpha = ch.sample_ext(D)
     ch.observe_many(proof.commitments.quotient_chunks.value)
-    zeta = ch.sample_ext()
-    zeta_next = trace_domain.next_point(zeta)
+    zeta = ch.sample_ext(D)
+    zeta_next = trace_domain.next_point(zeta, ext=E)
     tr.alpha, tr.zeta = alpha, zeta
 
     # -- PCS opening proof (verifier.rs:242-355) ----------------------------
@@ -222,14 +229,14 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
     )
 
     fri_proof = proof.opening_proof.fri_proof
-    alpha_fri = ch.sample_ext()
+    alpha_fri = ch.sample_ext(D)
     tr.alpha_fri = alpha_fri
 
     # shape & challenges (verifier.rs:357-388)
     betas = []
     for comm in fri_proof.commit_phase_commits:
         ch.observe_many(comm.value)
-        betas.append(ch.sample_ext())
+        betas.append(ch.sample_ext(D))
     tr.betas = betas
 
     if len(fri_proof.query_proofs) != fri_config.num_queries:
@@ -248,11 +255,11 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
     merkle_ok = True
     reduced_openings = []
     for query_opening, index in zip(proof.opening_proof.query_openings, query_indices):
-        ro = [Gl2.ZERO] * 32
-        alpha_pow = [Gl2.ONE] * 32
+        ro = [E.ZERO] * 32
+        alpha_pow = [E.ONE] * 32
         for batch_opening, (batch_commit, mats) in zip(query_opening, commits_and_points):
             batch_dims = [(0, dom.size()) for dom, _ in mats]
-            base_dims = [(w * EXT_DEGREE, h) for w, h in batch_dims]
+            base_dims = [(w * D, h) for w, h in batch_dims]
             if check_merkle:
                 merkle_ok &= verify_batch(
                     batch_commit,
@@ -273,13 +280,13 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
                     for p_at_x, p_at_z in zip(mat_opening, ps_at_z):
                         # (p(x) - p(z)) / (x - z), built exactly as the
                         # reference: (-p_at_z + p_at_x) / (-z + x)
-                        num = Gl2.add_base(Gl2.neg(p_at_z), p_at_x)
-                        den = Gl2.add_base(Gl2.neg(z), x)
-                        quot = Gl2.div(num, den)
-                        ro[log_height] = Gl2.add(
-                            ro[log_height], Gl2.mul(alpha_pow[log_height], quot)
+                        num = E.add_base(E.neg(p_at_z), p_at_x)
+                        den = E.add_base(E.neg(z), x)
+                        quot = E.div(num, den)
+                        ro[log_height] = E.add(
+                            ro[log_height], E.mul(alpha_pow[log_height], quot)
                         )
-                        alpha_pow[log_height] = Gl2.mul(alpha_pow[log_height], alpha_fri)
+                        alpha_pow[log_height] = E.mul(alpha_pow[log_height], alpha_fri)
         reduced_openings.append(ro)
     tr.reduced_openings = reduced_openings
 
@@ -290,7 +297,7 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
     ):
         folded_eval, q_merkle_ok, leaves = _verify_query(
             fri_proof.commit_phase_commits, index, qproof, betas, ro,
-            log_max_height, check_merkle
+            log_max_height, check_merkle, E=E
         )
         merkle_ok &= q_merkle_ok
         tr.fold_leaves.append(leaves)
@@ -302,32 +309,34 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
     # -- quotient reconstruction (verifier.rs:169-219) ----------------------
     zps = []
     for i, domain in enumerate(quotient_chunks_domains):
-        acc = Gl2.ONE
+        acc = E.ONE
         for j, other in enumerate(quotient_chunks_domains):
             if j == i:
                 continue
-            other_zeta = other.zp_at_point(zeta)
+            other_zeta = other.zp_at_point(zeta, ext=E)
             other_first = other.zp_at_single_point(domain.first_point())
-            acc = Gl2.mul(acc, Gl2.mul_base(other_zeta, Gl.inv(other_first)))
+            acc = E.mul(acc, E.mul_base(other_zeta, Gl.inv(other_first)))
         zps.append(acc)
 
-    quotient = Gl2.ZERO
+    monomials = ([(1, 0), (0, 1)] if D == 2
+                 else [(1, 0, 0), (0, 1, 0), (0, 0, 1)])
+    quotient = E.ZERO
     for ch_i, chunk in enumerate(ov.quotient_chunks):
         for e_i, c in enumerate(chunk):
-            monomial = (1, 0) if e_i == 0 else (0, 1)
-            quotient = Gl2.add(quotient, Gl2.mul(zps[ch_i], Gl2.mul(monomial, c)))
+            quotient = E.add(quotient,
+                             E.mul(zps[ch_i], E.mul(monomials[e_i], c)))
     tr.quotient = quotient
 
     # -- AIR constraint folding (verifier.rs:221-239) ------------------------
-    sels = trace_domain.selectors_at_point(zeta)
+    sels = trace_domain.selectors_at_point(zeta, ext=E)
     folder = VerifierConstraintFolder(
-        ops=_Gl2Ops,
+        ops=IntExtOps(ext=E),
         main=ov,
         is_first_row=sels.is_first_row,
         is_last_row=sels.is_last_row,
         is_transition=sels.is_transition,
         alpha=alpha,
-        publics={k: Gl2.from_base(v % P)
+        publics={k: E.from_base(v % P)
                  for k, v in air.public_values().items()},
         challenges=list(challenges),
     )
@@ -335,7 +344,7 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
     folded_constraints = folder.accumulator
     tr.folded_constraints = folded_constraints
 
-    tr.quotient_ok = Gl2.mul(folded_constraints, sels.inv_zeroifier) == quotient
+    tr.quotient_ok = E.mul(folded_constraints, sels.inv_zeroifier) == quotient
 
     tr.ok = (
         tr.shape_ok and tr.pow_ok and tr.merkle_ok and tr.fold_ok and tr.quotient_ok
@@ -344,22 +353,22 @@ def verify(proof: Proof, air: Air, fri_config: FriConfig,
 
 
 def _verify_query(commit_phase_commits, index, qproof, betas, ro,
-                  log_max_height, check_merkle: bool = True):
+                  log_max_height, check_merkle: bool = True, E=Gl2):
     """verifier.rs:419-519.  Also returns the per-level [e0, e1] leaf
     pairs in hash order (attestation support)."""
     leaves = []
-    folded_eval = Gl2.ZERO
+    folded_eval = E.ZERO
     g = Gl.two_adic_generator(log_max_height)
-    x = Gl2.from_base(pow(g, reverse_bits_len(index, log_max_height), P))
+    x = E.from_base(pow(g, reverse_bits_len(index, log_max_height), P))
     merkle_ok = True
 
-    g1 = Gl2.from_base(Gl.two_adic_generator(1))  # order-2 generator = -1
+    g1 = E.from_base(Gl.two_adic_generator(1))  # order-2 generator = -1
 
     for i, (commit, step, beta) in enumerate(
         zip(commit_phase_commits, qproof.commit_phase_openings, betas)
     ):
         log_folded_height = log_max_height - 1 - i
-        folded_eval = Gl2.add(ro[log_folded_height + 1], folded_eval)
+        folded_eval = E.add(ro[log_folded_height + 1], folded_eval)
 
         index_sibling = index ^ 1
         index_pair = index >> 1
@@ -372,22 +381,22 @@ def _verify_query(commit_phase_commits, index, qproof, betas, ro,
 
         leaves.append((evals[0], evals[1]))
         if check_merkle:
-            dims = [(2 * EXT_DEGREE, 1 << log_folded_height)]
+            dims = [(2 * E.D, 1 << log_folded_height)]
             leaf_row = [v for e in evals for v in e]
             merkle_ok &= verify_batch(
                 commit.value, dims, index_pair, [leaf_row], step.opening_proof
             )
 
         if is_odd:
-            xs = [x, Gl2.mul(x, g1)]
+            xs = [x, E.mul(x, g1)]
         else:
-            xs = [Gl2.mul(x, g1), x]
+            xs = [E.mul(x, g1), x]
 
         # folded = evals[0] + (beta - xs[0]) * (evals[1]-evals[0]) / (xs[1]-xs[0])
-        num = Gl2.mul(Gl2.sub(evals[1], evals[0]), Gl2.sub(beta, xs[0]))
-        folded_eval = Gl2.add(evals[0], Gl2.div(num, Gl2.sub(xs[1], xs[0])))
+        num = E.mul(E.sub(evals[1], evals[0]), E.sub(beta, xs[0]))
+        folded_eval = E.add(evals[0], E.div(num, E.sub(xs[1], xs[0])))
 
         index = index_pair
-        x = Gl2.mul(x, x)
+        x = E.mul(x, x)
 
     return folded_eval, merkle_ok, leaves

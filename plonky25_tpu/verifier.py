@@ -104,6 +104,11 @@ class TpuVerifier:
         # the other (r4 advisor finding).
         self.s2w = config.stage2_width
         check_multistage_consistency(air)
+        if getattr(config, "ext_degree", 2) != 2:
+            raise NotImplementedError(
+                "the device verifier implements the reference's D=2 "
+                "proof family (p3/constants.rs EXT_DEGREE=2); D=3 proofs "
+                "verify via refimpl.verifier.verify")
         self.n_challenges = air.num_challenges() if self.s2w else 0
 
         # Hash kernel for the Merkle-heavy stages.  Measured on v5e: the
