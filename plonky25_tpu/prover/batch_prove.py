@@ -200,7 +200,13 @@ class BatchProver:
                for t in traces):
             stacked = np.stack(traces)                   # numeric fast path
         else:
-            stacked = np.asarray(traces, dtype=object)
+            # exact uint64 coercion first (see TpuProver.prove: the
+            # object path loops per element); falls back for values
+            # outside [0, 2^64)
+            try:
+                stacked = np.asarray(traces, dtype=np.uint64)
+            except (OverflowError, TypeError, ValueError):
+                stacked = np.asarray(traces, dtype=object)
         cols = gl.from_u64(np.transpose(stacked, (0, 2, 1)))  # (B,W,H)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as Pspec
