@@ -35,6 +35,8 @@ from .models.poseidon2_air import CORE_WIDTH as CORE_W
 from .models.verifier_air import (
     ACC_OFF,
     B_COL,
+    CAP_COL,
+    GAMMA_LANES,
     E0_REG,
     E1_REG,
     M_OFF,
@@ -57,6 +59,7 @@ from .models.verifier_air import (
     SEL_A,
     SEL_C,
     SEL_F,
+    SEL_G,
     SEL_L,
     SEL_T,
     SEL_W,
@@ -119,6 +122,9 @@ class VRow:
     # chain digest, not the accumulator); ua = (value, 0) by the sel_w
     # row-local tie constraint
     priv: Optional[Tuple] = None
+    # cap flag: this row's ua captures the PREVIOUS row's permutation
+    # output lanes 0..1 (a sub-chain digest -> register move)
+    cap: int = 0
 
 
 # ------------------------------------------------------------- assembler
@@ -893,10 +899,45 @@ def K_ext(pair) -> _Handle:   # convenience for tests
 
 # --------------------------------------------------------------- executor
 
-def execute_program(rows: List[VRow]):
+def _oracle_chain_out(rows: List[VRow], end: int) -> Tuple[int, int]:
+    """Int-oracle fallback: the permutation output lanes 0..1 of the
+    chain ending at row `end` (used by execute_program when no
+    device-resolved outs are supplied — small schedules only)."""
+    from .refimpl.poseidon2 import poseidon2
+
+    start = end
+    while rows[start].sel not in ("l", "f"):
+        start -= 1
+    state = [0] * WIDTH
+    for j in range(start, end + 1):
+        r = rows[j]
+        if r.sel == "l":
+            state = [0] * WIDTH
+            for lane, v in r.absorbed:
+                state[lane] = v % P
+        elif r.sel == "w":
+            state = list(state)
+            state[0], state[1] = r.priv[0] % P, r.priv[1] % P
+        elif r.sel == "t":
+            state = list(state)
+            for lane, v in r.absorbed:
+                state[lane] = v % P
+        else:
+            raise AssertionError(
+                f"cap capture across unsupported row type {r.sel!r}")
+        state = poseidon2(state)
+    return (state[0], state[1])
+
+
+def execute_program(rows: List[VRow], cap_inputs: Optional[Dict] = None):
     """Prover-side: run the algebra, returning per-row register file
     snapshots (AFTER the row) and operand values — plain-int host math.
-    Also resolves each 'f' row's leaf lanes (= prev row's E0_REG/E1_REG)."""
+    Also resolves each 'f' row's leaf lanes (= prev row's E0_REG/E1_REG).
+
+    cap_inputs: {row_index: (o0, o1)} supplying each cap row's captured
+    previous-row permutation output (build_trace_cols passes the
+    device-resolved chain outs; when absent the int oracle recomputes
+    the needed sub-chains — fine for test-size schedules)."""
     regs = [ZERO2] * NUM_REGS
     reg_rows = []
     operands = []            # (ua, ub, uc) per row (zeros for hash rows)
@@ -906,10 +947,16 @@ def execute_program(rows: List[VRow]):
         if r.dst >= 0:
             # any row may carry an FMA (the constraint is gated on the pc
             # bit, not the selector); 'w' rows draw ua from their private
-            # pair value (the sel_w lane tie), everything else from the
-            # standard route/load operands
+            # pair value (the sel_w lane tie), cap rows from the previous
+            # row's permutation output, everything else from the standard
+            # route/load operands
             if r.sel == "w":
                 ua = (r.priv[1] % P, 0)
+            elif r.cap:
+                if cap_inputs is not None and i in cap_inputs:
+                    ua = tuple(v % P for v in cap_inputs[i])
+                else:
+                    ua = _oracle_chain_out(rows, i - 1)
             else:
                 ua = regs[r.pa] if r.pa >= 0 else (r.la or ZERO2)
             if r.free_b is not None:
@@ -935,9 +982,11 @@ def execute_program(rows: List[VRow]):
 
 def _control_bits(r: VRow) -> Tuple[int, int]:
     """(pack1, pack2) canonical values for one row."""
-    # 'w' sits at PACK1 bit 30 (appended after mo; PACK1_BITS order)
-    sel_bits = {"t": 0, "c": 1, "l": 2, "f": 3, "a": 4, "w": 30}
+    # 'w'/'g'/cap sit at PACK1 bits 30..32 (appended after mo;
+    # PACK1_BITS order)
+    sel_bits = {"t": 0, "c": 1, "l": 2, "f": 3, "a": 4, "w": 30, "g": 31}
     b1 = 1 << sel_bits[r.sel]
+    b1 |= r.cap << 32
     b1 |= r.b << 5
     for lane, _ in r.absorbed:
         b1 |= 1 << (6 + lane)
@@ -1003,19 +1052,40 @@ _chain_fn_cache: Dict = {}
 
 def _chain_chunk_fn():
     """Jitted rate-2 overwrite-sponge chunk: absorb GAMMA_CHUNK (slot,
-    value) pairs into a width-12 state, one permutation per pair."""
+    value) pairs into a width-12 state, one permutation per pair.
+
+    The permutation ROUNDS are unrolled inside the scan body (the
+    library poseidon2_permute nests a per-round scan; at the chain's
+    (12,)-lane shape that scan-of-scan pays per-round loop overhead on
+    every one of the 77k+ sequential permutations a golden-size
+    derivation makes — unrolling keeps one scan with a ~30-round
+    straight-line body)."""
     import jax
 
-    from .ops.poseidon2 import poseidon2_permute
+    from .constants import ROUND_F_BEGIN, ROUND_F_END, ROUND_P
+    from .ops import poseidon2 as p2
 
     fn = _chain_fn_cache.get("chunk")
     if fn is None:
         @jax.jit
-        def fn(state, pairs):        # state GL (12,), pairs GL (C, 2)
+        def fn(state, pairs):  # state GL (..., 12), pairs GL (C, ..., 2)
+            rc_ext = p2._rc_ext()
+            rc_mid = p2._rc_mid()
+            diag = p2._diag()
+
             def body(st, pr):
-                lo = st.lo.at[0:2].set(pr.lo)
-                hi = st.hi.at[0:2].set(pr.hi)
-                return poseidon2_permute(type(st)(lo, hi)), None
+                lo = st.lo.at[..., 0:2].set(pr.lo)
+                hi = st.hi.at[..., 0:2].set(pr.hi)
+                s = type(st)(lo, hi)
+                s = p2._matmul_external(s)
+                for r in range(ROUND_F_BEGIN):
+                    s = p2._external_round(s, rc_ext[r])
+                for r in range(ROUND_P):
+                    s = p2._internal_round(s, rc_mid[r], diag)
+                for r in range(ROUND_F_BEGIN, ROUND_F_END):
+                    s = p2._external_round(s, rc_ext[r])
+                return s, None
+
             out, _ = jax.lax.scan(body, state, pairs)
             return out
 
@@ -1023,40 +1093,62 @@ def _chain_chunk_fn():
     return fn
 
 
+def padded_pair_count(n_pairs: int) -> int:
+    """Pair stream padded with (0,0) to GAMMA_LANES equal slices whose
+    length is a multiple of GAMMA_CHUNK."""
+    from .models.verifier_air import GAMMA_LANES
+
+    lane_len = -(-max(n_pairs, 1) // GAMMA_LANES)
+    lane_len = -(-lane_len // GAMMA_CHUNK) * GAMMA_CHUNK
+    return GAMMA_LANES * lane_len
+
+
 def derive_gammas_from_pairs(n_rows: int,
                              pairs: List[Tuple[int, int]]) -> Tuple[int, int]:
-    """Two independent gammas = rate-2 overwrite-sponge digest of the
-    canonical pair stream: state <- 0; absorb (n_rows, n_pairs); then one
-    absorb+permute per (slot, value) pair, stream padded with (0, 0)
-    pairs to a multiple of GAMMA_CHUNK; gammas = final state lanes 0, 1.
+    """Two independent gammas from the canonical pair stream, protocol
+    v3 (round 5): the stream (padded, padded_pair_count) splits into
+    GAMMA_LANES contiguous slices; each slice is hashed by an
+    independent rate-2 overwrite-sponge chain from the zero state (one
+    permutation per (slot, value) pair); the GAMMA_LANES digests (lanes
+    0..1 of each final state) plus (n_rows, n_pairs) fill one COMBINE
+    permutation whose output lanes 0..1 are the gammas.
 
-    Protocol v3 (round 5): the sponge CHAIN replaces the round-2 tree
-    digest because a chain is exactly what a VerifierAir trace can
-    recompute with one 'w' row per pair — the in-trace hash-preimage
-    binding of an inner attestation's sequence (docs/SOUNDNESS.md,
-    "Recursion depth...").  Device-side the chain runs as a python loop
-    of jitted GAMMA_CHUNK scans with async dispatch (one compile total;
-    state never leaves the device until the final fetch)."""
+    This shape exists because it is exactly what a VerifierAir trace
+    recomputes: one 'w' row per pair, one cap row per sub-chain digest,
+    one 'g' row for the combine (docs/SOUNDNESS.md "Recursion
+    depth...") — while the derivation's serial depth is one slice, not
+    the whole stream (the chains batch on device; a single full-stream
+    chain measured ~150 us/perm serial on both backends)."""
     import numpy as np
 
     from .fields import gl
     from .fields.goldilocks import to_u64_np
-
-    n_pairs = len(pairs)
-    npad = (-n_pairs) % GAMMA_CHUNK
-    padded = np.zeros((n_pairs + npad, 2), np.uint64)
-    if n_pairs:
-        padded[:n_pairs] = np.asarray(pairs, np.uint64)
-
+    from .models.verifier_air import GAMMA_LANES
     from .ops.poseidon2 import poseidon2_permute
 
-    head = np.zeros((WIDTH,), np.uint64)
-    head[0], head[1] = n_rows, n_pairs
-    state = poseidon2_permute(gl.from_u64(head))
+    n_pairs = len(pairs)
+    total = padded_pair_count(n_pairs)
+    padded = np.zeros((total, 2), np.uint64)
+    if n_pairs:
+        padded[:n_pairs] = np.asarray(pairs, np.uint64)
+    lane_len = total // GAMMA_LANES
+    # (lane_len, GAMMA_LANES, 2): scan axis first, lane k = slice k
+    sliced = np.ascontiguousarray(
+        padded.reshape(GAMMA_LANES, lane_len, 2).transpose(1, 0, 2))
+
     fn = _chain_chunk_fn()
-    for off in range(0, len(padded), GAMMA_CHUNK):
-        state = fn(state, gl.from_u64(padded[off:off + GAMMA_CHUNK]))
-    out = to_u64_np(state)
+    # sub-chains start from the permutation of the zero state (the
+    # trace's empty 'l' chain-start row), then absorb their slice
+    state = poseidon2_permute(
+        gl.from_u64(np.zeros((GAMMA_LANES, WIDTH), np.uint64)))
+    for off in range(0, lane_len, GAMMA_CHUNK):
+        state = fn(state, gl.from_u64(sliced[off:off + GAMMA_CHUNK]))
+    digests = to_u64_np(state)                     # (GAMMA_LANES, 12)
+    root_in = np.zeros((WIDTH,), np.uint64)
+    for k in range(GAMMA_LANES):
+        root_in[2 * k], root_in[2 * k + 1] = digests[k][0], digests[k][1]
+    root_in[10], root_in[11] = n_rows, n_pairs
+    out = to_u64_np(poseidon2_permute(gl.from_u64(root_in)))
     # a zero lane would degenerate the binding accumulator; map to 1
     # (probability 2^-64 per lane — attest() would fail to build the
     # matching exposure row in that measure-zero case)
@@ -1079,47 +1171,70 @@ def pair_exponents(rows: List[VRow]) -> List[int]:
             for s, _ in canonical_slots(r)]
 
 
-ACC_REG = 0   # the single register the compression segment uses
+ACC_REG = 10  # the fold register (digest captures use registers 0..4)
 
 
 def build_compression_rows(n_rows: int, pairs: List[Tuple[int, int]],
                            exponents: List[int], gamma: Tuple[int, int],
                            acc: Tuple[int, int]) -> List[VRow]:
     """The in-trace recomputation of an INNER attestation's binding
-    (docs/SOUNDNESS.md "Recursion depth..."): one chain of rows that
-    (a) re-hashes the inner canonical pair stream with the same rate-2
-    sponge as derive_gammas_from_pairs, exposing the final digest
-    canonically equal to the inner (gamma1, gamma2), and (b) re-folds
-    both accumulator finals via one ext FMA per pair,
+    (docs/SOUNDNESS.md "Recursion depth..."): GAMMA_LANES parallel
+    sub-chains re-hash the inner canonical pair stream exactly as
+    derive_gammas_from_pairs (one 'w' row per pair), each digest is
+    captured into register k by a cap row, and ONE 'g' combine row —
+    lanes 0..9 register-bound, lanes 10..11 the canonical length header
+    — exposes the root digest canonically equal to the inner
+    (gamma1, gamma2).  Every 'w' row's same-row ext FMA also re-folds
+    both accumulator finals,
         ACC = (v_i, 0) * (W1_i, W2_i) + ACC,
-    asserting ACC == (acc1, acc2) at the end.  The pair values ride as
-    PRIVATE 'w'-row lanes (hash-pinned); the weights W_k = gamma_k^e_i
-    are canonical loads the checker recomputes from the slot template.
+    (the fold is a plain sum, so the slice order is immaterial) with a
+    terminal assert ACC == (acc1, acc2).  The pair values ride as
+    PRIVATE lanes (hash-pinned); the weights W_k = gamma_k^e_i are
+    canonical loads the checker recomputes from the slot template.
 
     Appended to an outer verification schedule, these rows replace the
     checker's host-side re-marshal of the inner schedule — the analogue
     of the reference folding the inner verification into the outer
     circuit (/root/reference/src/p3/verifier.rs:100-240)."""
+    from .models.verifier_air import GAMMA_LANES
+
     g1, g2 = gamma
-    rows: List[VRow] = []
-    # header: chain start binding (n_rows, n_pairs); same row initializes
-    # ACC = 0*0+0 from BOUND zero loads (the prover cannot pick the start)
-    rows.append(VRow(sel="l",
-                     absorbed=((0, n_rows % P), (1, len(pairs) % P)),
-                     la=ZERO2, lb=ZERO2, lc=ZERO2, dst=ACC_REG))
-    npad = (-len(pairs)) % GAMMA_CHUNK
-    padded = list(pairs) + [(0, 0)] * npad
-    w1 = w2 = None
-    for i, (s, v) in enumerate(padded):
-        if i < len(pairs):
+    n_pairs = len(pairs)
+    total = padded_pair_count(n_pairs)
+    lane_len = total // GAMMA_LANES
+    padded = list(pairs) + [(0, 0)] * (total - n_pairs)
+    weights = []
+    for i in range(total):
+        if i < n_pairs:
             e = exponents[i]
-            w1, w2 = pow(g1, e, P), pow(g2, e, P)
+            weights.append((pow(g1, e, P), pow(g2, e, P)))
         else:
-            w1 = w2 = 0          # pad pairs contribute 0 to both folds
-        rows.append(VRow(sel="w", priv=(s % P, v % P), lb=(w1, w2),
-                         pd=ACC_REG, dst=ACC_REG))
-    # the last chain row exposes the digest == the inner gammas
-    rows[-1].exposed = ((0, g1 % P), (1, g2 % P))
+            weights.append((0, 0))    # pad pairs contribute 0
+
+    rows: List[VRow] = []
+    first = True
+    for k in range(GAMMA_LANES):
+        # sub-chain start: an empty 'l' row (all-zero sponge state); the
+        # FIRST one also initializes ACC = 0*0+0 from BOUND zero loads
+        # (the prover cannot pick the fold's start)
+        if first:
+            rows.append(VRow(sel="l", la=ZERO2, lb=ZERO2, lc=ZERO2,
+                             dst=ACC_REG))
+            first = False
+        else:
+            rows.append(VRow(sel="l"))
+        for i in range(k * lane_len, (k + 1) * lane_len):
+            s, v = padded[i]
+            rows.append(VRow(sel="w", priv=(s % P, v % P), lb=weights[i],
+                             pd=ACC_REG, dst=ACC_REG))
+        # capture the sub-chain digest into register k (cap: ua is the
+        # previous row's out[0..1])
+        rows.append(VRow(sel="a", cap=1, lb=ONE2, lc=ZERO2, dst=k))
+    # combine: lanes 0..9 = registers 0..GAMMA_LANES-1 (prev row), lanes
+    # 10..11 = the canonical length header; root digest exposed == gamma
+    rows.append(VRow(sel="g",
+                     absorbed=((10, n_rows % P), (11, n_pairs % P)),
+                     exposed=((0, g1 % P), (1, g2 % P))))
     # terminal binding: ACC == (acc1, acc2)
     rows.append(VRow(sel="a", pa=ACC_REG, lb=ONE2, lc=ZERO2, dst=ACC_REG,
                      assert_val=(acc[0] % P, acc[1] % P)))
@@ -1227,29 +1342,26 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
         assert height <= (1 << log_n), "schedule exceeds requested height"
         height = 1 << log_n
 
-    reg_rows, operands, f_lanes = execute_program(rows)
-
-    # --- chain-state resolution ------------------------------------------
+    # --- static chain structure -------------------------------------------
     absorbed = np.zeros((R, WIDTH), np.uint64)
     m_arr = np.zeros((height, WIDTH), np.uint64)
     ov_arr = np.zeros((R, WIDTH), bool)          # preset-lane override
-    sel_arr = np.zeros((height, 6), np.uint64)   # t, c, l, f, a, w
+    sel_arr = np.zeros((height, 8), np.uint64)   # t, c, l, f, a, w, g, cap
     bcol = np.zeros((height,), np.uint64)
     chains: List[List[int]] = []
     for i, r in enumerate(rows):
-        sel_arr[i, "tclfaw".index(r.sel)] = 1
+        sel_arr[i, "tclfawg".index(r.sel)] = 1
+        sel_arr[i, 7] = r.cap
         bcol[i] = r.b
         for lane, v in r.absorbed:
             absorbed[i, lane] = v % P
             m_arr[i, lane] = 1
-        if r.sel == "f":
-            absorbed[i, :4] = f_lanes[i]       # preset lanes (NOT m-masked)
         if r.sel == "w":
             # private pair on lanes 0..1 (NOT m-masked: chain-pinned)
             absorbed[i, 0] = r.priv[0] % P
             absorbed[i, 1] = r.priv[1] % P
             ov_arr[i, 0:2] = True
-        if r.sel in ("l", "f"):
+        if r.sel in ("l", "f", "g"):
             chains.append([i])
         elif r.sel in ("t", "c", "w"):
             assert chains, "schedule must open with a chain start"
@@ -1258,32 +1370,63 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
 
     states_np = np.zeros((height, WIDTH), np.uint64)
     out_np = np.zeros((R, WIDTH), np.uint64)
-    n_chains = max(len(chains), 1)
-    maxlen = max((len(c) for c in chains), default=0)
     perm = poseidon2_permute
-    for k in range(maxlen):
-        live = [c for c in chains if len(c) > k]
-        idxs = np.asarray([c[k] for c in live])
-        if k == 0:
-            ins = absorbed[idxs].copy()
-        else:
-            pouts = out_np[np.asarray([c[k - 1] for c in live])]
-            is_c = sel_arr[idxs, 1] == 1
-            carries = ((sel_arr[idxs, 0] == 1)
-                       | (sel_arr[idxs, 5] == 1))      # 't' and 'w' rows
-            base = np.where(carries[:, None], pouts, 0)
-            dig = pouts[:, :4]
-            b_here = bcol[idxs] == 1
-            left = np.where((is_c & ~b_here)[:, None], dig, base[:, 0:4])
-            right = np.where((is_c & b_here)[:, None], dig, base[:, 4:8])
-            base = np.concatenate([left, right, base[:, 8:]], axis=1)
-            ins = np.where((m_arr[idxs] == 1) | ov_arr[idxs],
-                           absorbed[idxs], base)
-        states_np[idxs] = ins
-        batch = np.zeros((n_chains, WIDTH), np.uint64)
-        batch[: len(idxs)] = ins
-        outs = to_u64_np(perm(gl.from_u64(batch)))[: len(idxs)]
-        out_np[idxs] = outs
+
+    def resolve(group: List[List[int]]):
+        """Level-synchronous batched resolution of one chain group."""
+        n_chains = max(len(group), 1)
+        maxlen = max((len(c) for c in group), default=0)
+        for k in range(maxlen):
+            live = [c for c in group if len(c) > k]
+            idxs = np.asarray([c[k] for c in live])
+            if k == 0:
+                ins = absorbed[idxs].copy()
+            else:
+                pouts = out_np[np.asarray([c[k - 1] for c in live])]
+                is_c = sel_arr[idxs, 1] == 1
+                carries = ((sel_arr[idxs, 0] == 1)
+                           | (sel_arr[idxs, 5] == 1))  # 't' and 'w' rows
+                base = np.where(carries[:, None], pouts, 0)
+                dig = pouts[:, :4]
+                b_here = bcol[idxs] == 1
+                left = np.where((is_c & ~b_here)[:, None], dig,
+                                base[:, 0:4])
+                right = np.where((is_c & b_here)[:, None], dig,
+                                 base[:, 4:8])
+                base = np.concatenate([left, right, base[:, 8:]], axis=1)
+                ins = np.where((m_arr[idxs] == 1) | ov_arr[idxs],
+                               absorbed[idxs], base)
+            states_np[idxs] = ins
+            batch = np.zeros((n_chains, WIDTH), np.uint64)
+            batch[: len(idxs)] = ins
+            outs = to_u64_np(perm(gl.from_u64(batch)))[: len(idxs)]
+            out_np[idxs] = outs
+
+    # Round A: chains with static inputs ('l'-started) — resolves the
+    # compression sub-chains whose final outs feed cap rows
+    group_a = [c for c in chains if rows[c[0]].sel == "l"]
+    resolve(group_a)
+
+    cap_inputs = {
+        i: (int(out_np[i - 1][0]), int(out_np[i - 1][1]))
+        for i, r in enumerate(rows) if r.cap
+    }
+    reg_rows, operands, f_lanes = execute_program(rows, cap_inputs)
+
+    # Round B: register-dependent chains — 'f' starts (lanes 0..3 from
+    # E0/E1 of the previous row) and 'g' combines (lanes 0..9 from
+    # registers 0..GAMMA_LANES-1 of the previous row)
+    for i, r in enumerate(rows):
+        if r.sel == "f":
+            absorbed[i, :4] = f_lanes[i]       # preset (NOT m-masked)
+        elif r.sel == "g":
+            prev = reg_rows[i - 1]
+            for kreg in range(GAMMA_LANES):
+                absorbed[i, 2 * kreg] = prev[kreg][0]
+                absorbed[i, 2 * kreg + 1] = prev[kreg][1]
+            ov_arr[i, 0:10] = True
+    group_b = [c for c in chains if rows[c[0]].sel in ("f", "g")]
+    resolve(group_b)
 
     core_dev = poseidon2_core_rows(gl.from_u64(states_np))
 
@@ -1295,6 +1438,8 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
 
     blk[:, col(SEL_T):col(SEL_T) + 5] = sel_arr[:, :5]
     blk[:, col(SEL_W)] = sel_arr[:, 5]
+    blk[:, col(SEL_G)] = sel_arr[:, 6]
+    blk[:, col(CAP_COL)] = sel_arr[:, 7]
     blk[:, col(B_COL)] = bcol
     blk[:, col(M_OFF):col(M_OFF) + WIDTH] = m_arr
     for i, r in enumerate(rows):

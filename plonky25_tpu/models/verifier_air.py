@@ -115,13 +115,24 @@ PACK1_COL = MR_OFF + NUM_REGS
 PACK2_COL = PACK1_COL + 1
 ACC_OFF = PACK2_COL + 1           # acc1, acc2
 SEL_W = ACC_OFF + 2               # 'w': witness-fold row (appended r5)
-NUM_COLS = SEL_W + 1
+SEL_G = SEL_W + 1                 # 'g': register-fed combine-hash row
+CAP_COL = SEL_G + 1               # flag: ua captures prev row's out[0..1]
+NUM_COLS = CAP_COL + 1
+
+# number of parallel gamma sub-chains (protocol constant): the pair
+# stream splits into GAMMA_LANES contiguous slices hashed by independent
+# chains whose digests land in registers 0..GAMMA_LANES-1 (cap rows) and
+# combine in ONE 'g' permutation — the sequential chain length drops by
+# 5x on both the checker and the trace (the chain is the derivation's
+# only serial dependency; a single 77k-perm chain cost ~11 s/side at
+# golden scale, r5 measurement)
+GAMMA_LANES = 5
 
 # pack bit orders (fixed; injective given booleanity)
 PACK1_BITS = ([SEL_T, SEL_C, SEL_L, SEL_F, SEL_A, B_COL]
               + list(range(M_OFF, M_OFF + WIDTH))
               + list(range(MO_OFF, MO_OFF + WIDTH))
-              + [SEL_W])                                        # 31 bits
+              + [SEL_W, SEL_G, CAP_COL])                        # 33 bits
 PACK2_BITS = (list(range(PA_OFF, PA_OFF + NUM_REGS))
               + list(range(PB_OFF, PB_OFF + NUM_REGS))
               + list(range(PD_OFF, PD_OFF + NUM_REGS))
@@ -195,6 +206,7 @@ class VerifierAir(Air):
         sel_t, sel_c, sel_l = seg(L, SEL_T, 1), seg(L, SEL_C, 1), seg(L, SEL_L, 1)
         sel_f, sel_a = seg(L, SEL_F, 1), seg(L, SEL_A, 1)
         sel_w = seg(L, SEL_W, 1)
+        sel_g, cap = seg(L, SEL_G, 1), seg(L, CAP_COL, 1)
         b = seg(L, B_COL, 1)
         m = seg(L, M_OFF, WIDTH)
         mo = seg(L, MO_OFF, WIDTH)
@@ -203,6 +215,7 @@ class VerifierAir(Air):
         n_sel_t, n_sel_c = seg(N, SEL_T, 1), seg(N, SEL_C, 1)
         n_sel_l, n_sel_f = seg(N, SEL_L, 1), seg(N, SEL_F, 1)
         n_sel_a, n_sel_w = seg(N, SEL_A, 1), seg(N, SEL_W, 1)
+        n_sel_g, n_cap = seg(N, SEL_G, 1), seg(N, CAP_COL, 1)
         n_b = seg(N, B_COL, 1)
         n_m = seg(N, M_OFF, WIDTH)
         n_mo = seg(N, MO_OFF, WIDTH)
@@ -210,8 +223,8 @@ class VerifierAir(Air):
         n_out = seg(N, OUT_OFF, WIDTH)
 
         # booleanity of every packed bit (injective packing)
-        bits_l = ops.concat([sel_t, sel_c, sel_l, sel_f, sel_a, sel_w, b,
-                             m, mo,
+        bits_l = ops.concat([sel_t, sel_c, sel_l, sel_f, sel_a, sel_w,
+                             sel_g, cap, b, m, mo,
                              seg(L, PA_OFF, NUM_REGS),
                              seg(L, PB_OFF, NUM_REGS),
                              seg(L, PD_OFF, NUM_REGS),
@@ -232,13 +245,11 @@ class VerifierAir(Air):
                 tot = tj if tot is None else ops.add(tot, tj)
             folder.assert_zero(ops.sub(seg(L, pcol, 1), tot))
 
-        active = ops.add(ops.add(ops.add(ops.add(ops.add(sel_t, sel_c),
-                                                 sel_l), sel_f), sel_a),
-                         sel_w)
-        n_active = ops.add(ops.add(ops.add(ops.add(ops.add(n_sel_t,
-                                                           n_sel_c),
-                                                   n_sel_l), n_sel_f),
-                                   n_sel_a), n_sel_w)
+        active = ops.add(ops.add(ops.add(ops.add(ops.add(ops.add(
+            sel_t, sel_c), sel_l), sel_f), sel_a), sel_w), sel_g)
+        n_active = ops.add(ops.add(ops.add(ops.add(ops.add(ops.add(
+            n_sel_t, n_sel_c), n_sel_l), n_sel_f), n_sel_a), n_sel_w),
+            n_sel_g)
         # active rows form a PREFIX (interior-padding forgery guard; the
         # round-2 advisor finding — still required even with the control
         # plane accumulator-bound, because inactive rows do not shift the
@@ -254,7 +265,7 @@ class VerifierAir(Air):
         nb4 = rep(n_b, 4)
         n_left = take(n_in, np.arange(0, 4))
         n_right = take(n_in, np.arange(4, 8))
-        n_cap = take(n_in, np.arange(8, WIDTH))
+        n_capacity = take(n_in, np.arange(8, WIDTH))
         gate_c = rep(n_sel_c, 4)
         folder.when_transition().assert_zero(
             ops.mul(gate_c, ops.mul(ops.sub(one, nb4),
@@ -262,7 +273,7 @@ class VerifierAir(Air):
         folder.when_transition().assert_zero(
             ops.mul(gate_c, ops.mul(nb4, ops.sub(n_right, prev_dig))))
         folder.when_transition().assert_zero(
-            ops.mul(take(n_sel_c, np.zeros(4, np.int32)), n_cap))
+            ops.mul(take(n_sel_c, np.zeros(4, np.int32)), n_capacity))
 
         folder.when_transition().assert_zero(
             ops.mul(rep(n_sel_t),
@@ -296,11 +307,30 @@ class VerifierAir(Air):
             ops.mul(sel_w, ops.sub(take(ua_l, [0]), take(in_v, [1]))))
         folder.assert_zero(ops.mul(sel_w, take(ua_l, [1])))
 
-        # first row: a chain start ('l'), never 'f'/'a'/'w'
+        # 'g' rows (gamma combine): lanes 0..9 equal the PREVIOUS row's
+        # first 10 register base columns (the GAMMA_LANES captured
+        # sub-chain digests, register k -> lanes 2k..2k+1); lanes 10..11
+        # are m-bound canonical values (the length header).  The combine
+        # digest is exposed on the same row.
+        folder.when_transition().assert_zero(
+            ops.mul(rep(n_sel_g, 10),
+                    ops.sub(take(n_in, np.arange(10)),
+                            seg(L, R_OFF, 10))))
+
+        # cap flag: the row's ua operand captures the PREVIOUS row's
+        # permutation output lanes 0..1 (a sub-chain digest) so an FMA
+        # can move in-trace hash outputs into the register file — the
+        # dual of the 'f' row's register->lane adjacency binding.
+        n_ua_cap = seg(N, UA_OFF, 2)
+        folder.when_transition().assert_zero(
+            ops.mul(rep(n_cap, 2),
+                    ops.sub(n_ua_cap, take(out_d, np.arange(2)))))
+
+        # first row: a chain start ('l'), never 'f'/'a'/'w'/'g'/cap
         folder.when_first_row().assert_zero(
             ops.mul(ops.sub(one, m), in_v))
         folder.when_first_row().assert_zero(
-            ops.concat([sel_f, sel_a, sel_w]))
+            ops.concat([sel_f, sel_a, sel_w, sel_g, cap]))
 
         # ---- algebra: FMA + routing + copy ------------------------------
         R_l = seg(L, R_OFF, 2 * NUM_REGS)

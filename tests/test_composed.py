@@ -82,9 +82,9 @@ def test_chain_gamma_matches_in_trace_digest(inner, inner_parts):
     ap.execute_program(crows)            # terminal ACC assert passes
     g_out = ap.derive_gammas(crows)
     trace = ap.build_trace_rowmajor(crows, g_out)
-    last_w = max(i for i, r in enumerate(crows) if r.sel == "w")
-    assert (int(trace[last_w][OUT_OFF]),
-            int(trace[last_w][OUT_OFF + 1])) == tuple(inner.gamma)
+    g_row = next(i for i, r in enumerate(crows) if r.sel == "g")
+    assert (int(trace[g_row][OUT_OFF]),
+            int(trace[g_row][OUT_OFF + 1])) == tuple(inner.gamma)
 
 
 def test_compression_rows_reject_tampered_inputs(inner, inner_parts):
@@ -149,9 +149,11 @@ def test_tampered_w_trace_violates_constraints(inner, inner_parts):
         return bad
 
     w_row = next(i for i, r in enumerate(crows) if r.sel == "w")
-    last_w = max(i for i, r in enumerate(crows) if r.sel == "w")
-    # the valid trace satisfies the sampled rows (incl. chain ends)
-    ok_idx = [0, w_row, w_row + 1, last_w, last_w + 1, len(crows) - 1,
+    cap_row = next(i for i, r in enumerate(crows) if r.cap)
+    g_row = next(i for i, r in enumerate(crows) if r.sel == "g")
+    # the valid trace satisfies the sampled rows (incl. captures/combine)
+    ok_idx = [0, w_row, w_row + 1, cap_row - 1, cap_row, cap_row + 1,
+              g_row - 1, g_row, g_row + 1, len(crows) - 1,
               len(trace) - 1]
     assert eval_rows(trace, ok_idx) == []
 
@@ -164,8 +166,15 @@ def test_tampered_w_trace_violates_constraints(inner, inner_parts):
     assert eval_rows(tampered(w_row, 1), [w_row - 1, w_row]) != []
     # witnessed pair SLOT lane (in_0): the permutation core witness breaks
     assert eval_rows(tampered(w_row, 0), [w_row - 1, w_row]) != []
-    # exposed digest lane on the final chain row: accumulator binding
-    assert eval_rows(tampered(last_w, OUT_OFF), [last_w]) != []
+    # exposed digest lane on the combine row: accumulator binding
+    assert eval_rows(tampered(g_row, OUT_OFF), [g_row]) != []
+    # a captured digest register: the cap tie or the 'g' lane binding
+    from plonky25_tpu.models.verifier_air import R_OFF
+
+    assert eval_rows(tampered(cap_row, R_OFF),
+                     [cap_row - 1, cap_row, cap_row + 1]) != []
+    # a 'g' input lane: breaks the register-lane equality
+    assert eval_rows(tampered(g_row, 0), [g_row - 1, g_row]) != []
 
 
 def test_check_composed_rejects_tampered_bindings(small_proof, inner,
