@@ -1093,6 +1093,43 @@ def _chain_chunk_fn():
     return fn
 
 
+def _chain_states_fn():
+    """Like _chain_chunk_fn but also emits every step's (input, output)
+    state — the trace builder materializes the per-row sponge witness of
+    long 'w' chains from one scan instead of one dispatch per row."""
+    import jax
+
+    from .constants import ROUND_F_BEGIN, ROUND_F_END, ROUND_P
+    from .ops import poseidon2 as p2
+
+    fn = _chain_fn_cache.get("states")
+    if fn is None:
+        @jax.jit
+        def fn(state, pairs):  # state GL (..., 12), pairs GL (C, ..., 2)
+            rc_ext = p2._rc_ext()
+            rc_mid = p2._rc_mid()
+            diag = p2._diag()
+
+            def body(st, pr):
+                lo = st.lo.at[..., 0:2].set(pr.lo)
+                hi = st.hi.at[..., 0:2].set(pr.hi)
+                ins = type(st)(lo, hi)
+                s = p2._matmul_external(ins)
+                for r in range(ROUND_F_BEGIN):
+                    s = p2._external_round(s, rc_ext[r])
+                for r in range(ROUND_P):
+                    s = p2._internal_round(s, rc_mid[r], diag)
+                for r in range(ROUND_F_BEGIN, ROUND_F_END):
+                    s = p2._external_round(s, rc_ext[r])
+                return s, (ins, s)
+
+            out, (ins, outs) = jax.lax.scan(body, state, pairs)
+            return out, ins, outs
+
+        _chain_fn_cache["states"] = fn
+    return fn
+
+
 def padded_pair_count(n_pairs: int) -> int:
     """Pair stream padded with (0,0) to GAMMA_LANES equal slices whose
     length is a multiple of GAMMA_CHUNK."""
@@ -1373,11 +1410,19 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
     perm = poseidon2_permute
 
     def resolve(group: List[List[int]]):
-        """Level-synchronous batched resolution of one chain group."""
-        n_chains = max(len(group), 1)
+        """Level-synchronous batched resolution of one chain group.
+
+        The permute batch pads to the next power of two of the LIVE
+        chain count, not the group size: long chains (the compression
+        sub-chains run tens of thousands of levels with only
+        GAMMA_LANES survivors) must not drag the whole group's width
+        through every level (a 14k-chain x 15k-level rectangle is ~200M
+        wasted permutations); pow-2 buckets keep the jit shape count
+        logarithmic."""
         maxlen = max((len(c) for c in group), default=0)
         for k in range(maxlen):
             live = [c for c in group if len(c) > k]
+            n_chains = 1 << (max(len(live), 1) - 1).bit_length()
             idxs = np.asarray([c[k] for c in live])
             if k == 0:
                 ins = absorbed[idxs].copy()
@@ -1402,9 +1447,49 @@ def build_trace_cols(rows: List[VRow], gamma: Tuple[int, int],
             outs = to_u64_np(perm(gl.from_u64(batch)))[: len(idxs)]
             out_np[idxs] = outs
 
-    # Round A: chains with static inputs ('l'-started) — resolves the
-    # compression sub-chains whose final outs feed cap rows
-    group_a = [c for c in chains if rows[c[0]].sel == "l"]
+    # Long all-'w' chains (the compression sub-chains: an empty 'l'
+    # start + tens of thousands of private absorbs) resolve through ONE
+    # jitted scan per GAMMA_CHUNK that also emits every intermediate
+    # state — the generic per-level path would pay one device dispatch
+    # per level.  The lanes batch across the GAMMA_LANES chains (equal
+    # length by construction).
+    def _is_w_run(c):
+        r0 = rows[c[0]]
+        return (len(c) > 64 and r0.sel == "l" and not r0.absorbed
+                and all(rows[j].sel == "w" for j in c[1:]))
+
+    w_runs = [c for c in chains if _is_w_run(c)]
+    if w_runs:
+        assert len({len(c) for c in w_runs}) == 1, \
+            "compression sub-chains must have equal length"
+        wlen = len(w_runs[0]) - 1
+        starts = np.asarray([c[0] for c in w_runs])
+        # the empty 'l' start: in = zeros, out = perm(zeros)
+        z = np.zeros((len(w_runs), WIDTH), np.uint64)
+        p0 = to_u64_np(perm(gl.from_u64(z)))
+        states_np[starts] = 0
+        out_np[starts] = p0
+        # pair stream per chain, (wlen, n_runs, 2)
+        prs = np.zeros((wlen, len(w_runs), 2), np.uint64)
+        for ci, c in enumerate(w_runs):
+            for t, j in enumerate(c[1:]):
+                prs[t, ci, 0] = rows[j].priv[0] % P
+                prs[t, ci, 1] = rows[j].priv[1] % P
+        fn = _chain_states_fn()
+        state = gl.from_u64(p0)
+        for off in range(0, wlen, GAMMA_CHUNK):
+            chunk = gl.from_u64(prs[off:off + GAMMA_CHUNK])
+            state, ins_c, outs_c = fn(state, chunk)
+            ins_h = to_u64_np(ins_c)      # (C, n_runs, 12)
+            outs_h = to_u64_np(outs_c)
+            for ci, c in enumerate(w_runs):
+                rows_idx = np.asarray(c[1 + off:1 + off + len(ins_h)])
+                states_np[rows_idx] = ins_h[:, ci]
+                out_np[rows_idx] = outs_h[:, ci]
+
+    # Round A: remaining chains with static inputs ('l'-started)
+    group_a = [c for c in chains
+               if rows[c[0]].sel == "l" and not _is_w_run(c)]
     resolve(group_a)
 
     cap_inputs = {
