@@ -25,14 +25,22 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "artifacts",
 
 
 def main():
+    # --oracle: int-oracle prover/verifier (CPU boxes; the device prover
+    # compiles the 620-wide modules, minutes-long off-TPU)
+    oracle = "--oracle" in sys.argv
+    dev = not oracle
     air = FibonacciAir()
     p1 = refimpl_prove(air, fibonacci_trace(8), FC)
     p2 = refimpl_prove(air, fibonacci_trace(16), FC)
-    bundle = A.attest(p1, air, FC, att_fri_config=ATT_FC)
-    assert A.check_attestation(bundle, p1, air, FC, att_fri_config=ATT_FC)
-    multi = A.attest_many([p1, p2], air, FC, att_fri_config=ATT_FC)
+    bundle = A.attest(p1, air, FC, att_fri_config=ATT_FC,
+                      use_device_prover=dev)
+    assert A.check_attestation(bundle, p1, air, FC, att_fri_config=ATT_FC,
+                               use_device_verifier=dev)
+    multi = A.attest_many([p1, p2], air, FC, att_fri_config=ATT_FC,
+                          use_device_prover=dev)
     assert A.check_attestations(multi, [p1, p2], air, FC,
-                                att_fri_config=ATT_FC)
+                                att_fri_config=ATT_FC,
+                                use_device_verifier=dev)
     blob = {
         "fc": {"log_blowup": FC.log_blowup, "num_queries": FC.num_queries,
                "proof_of_work_bits": FC.proof_of_work_bits},
