@@ -119,6 +119,16 @@ class TpuProver:
         self.chunk_shifts = [7 * pow(self.g_q, ci, P) % P
                              for ci in range(self.n_chunks)]
 
+        # column-chunk the trace LDE when the unchunked module's
+        # compile-time working set would exceed HBM (the recursion-
+        # compressed 2^19 x 620 outer trace needs ~18G unchunked — a
+        # permanent XLA compile OOM; per-column transforms chunk
+        # exactly).  ~4 bufferfuls of (W, N) planar u32 pairs is the
+        # observed live-set shape; target <= ~4G per chunk.
+        lde_ws = self.width * (1 << self.log_max) * 8 * 4
+        self.commit_col_chunks = min(self.width,
+                                     -(-lde_ws // (4 << 30)))
+
         self._s_commit_trace = jax.jit(self._commit_trace_fn)
         self._s_quotient = jax.jit(self._quotient_fn)
         self._s_commit_chunks = jax.jit(self._commit_chunks_fn)
@@ -128,6 +138,18 @@ class TpuProver:
         # per-FRI-phase jits (rows/fold-step), keyed by log_folded; host
         # twiddle/inverse tables computed once per shape and closed over
         self._fold_cache: Dict = {}
+
+    def _commit_matrix(self, cols: GL) -> GL:
+        """LDE-commit `cols` (W', H) -> (N, W'), column-chunked when the
+        shape demands it (bit-identical: the transform is per-column)."""
+        S = self.commit_col_chunks
+        W_ = cols.shape[0]
+        if S <= 1 or W_ < 2 * S or self.lde_mesh is not None:
+            return self._s_commit_trace(cols)
+        step = -(-W_ // S)
+        outs = [self._s_commit_trace(cols[i:i + step])
+                for i in range(0, W_, step)]
+        return gl.concatenate(outs, axis=-1)
 
     # ------------------------------------------------------------ stages
     def _commit_trace_fn(self, cols: GL):
@@ -583,8 +605,13 @@ class TpuProver:
         s2w = self.s2w
         chs = [ze(()) for _ in range(self.n_challenges)]
         s2c = z((s2w, H)) if s2w else None
+        cstep = (-(-W // self.commit_col_chunks)
+                 if self.commit_col_chunks > 1 and W >= 2 * self.commit_col_chunks
+                 else W)
+        commit_shapes = sorted({cstep, W - (W // cstep) * cstep or cstep})
         calls = [
-            lambda: self._s_commit_trace(z((W, H))),
+            *(lambda wc=wc: self._s_commit_trace(z((wc, H)))
+              for wc in commit_shapes),
             lambda: self._s_quotient(
                 z((W, H)), ze(()),
                 {k: ze(()) for k in self.air.public_values()},
@@ -661,7 +688,7 @@ class TpuProver:
             cols = gl.from_u64(cols_np)
 
         # commit trace
-        trace_rows = self._s_commit_trace(cols)                 # (N, W)
+        trace_rows = self._commit_matrix(cols)                  # (N, W)
         trace_tree = DeviceMerkleTree(trace_rows)
         ch.observe_many(trace_tree.root)
 
@@ -671,7 +698,7 @@ class TpuProver:
         s2_cols = s2_rows = s2_tree = None
         if self.s2w:
             s2_cols = self._stage2_cols(cols, trace_rows_host, challenges_d)
-            s2_rows = self._s_commit_trace(s2_cols)             # (N, s2w)
+            s2_rows = self._commit_matrix(s2_cols)              # (N, s2w)
             s2_tree = DeviceMerkleTree(s2_rows)
             ch.observe_many(s2_tree.root)
 

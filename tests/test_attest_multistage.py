@@ -121,6 +121,7 @@ def test_batched_sample_recording_multistage(rlc_proof):
     assert batched[0] == batched[1] == single
 
 
+@pytest.mark.slow
 def test_attest_many_multistage(rlc_proof):
     """One STARK attests a batch of multi-stage verifications."""
     proofs = [rlc_proof, rlc_proof]
@@ -195,6 +196,7 @@ def vec_proof():
     return refimpl_prove(VecSumAir(), _vecsum_trace(16), FC)
 
 
+@pytest.mark.slow
 def test_vector_air_attest_roundtrip(vec_proof):
     assert refimpl_verify(vec_proof, VecSumAir(), FC).ok
     b = A.attest(vec_proof, VecSumAir(), FC, att_fri_config=ATT_FC,

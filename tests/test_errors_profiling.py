@@ -66,7 +66,7 @@ def _stride_sample(items, n):
     return [items[int(i * stride)] for i in range(n)]
 
 
-def test_structural_fuzz_never_raises_uncaught(golden_proof):
+def _run_structural_fuzz(n_del, n_bump):
     """Every sampled single-field mutation of the golden proof either
     raises InvalidProofShape or verifies False — never an uncaught
     exception (VERDICT r1 weak #2; reference behavior: panics at
@@ -84,7 +84,7 @@ def test_structural_fuzz_never_raises_uncaught(golden_proof):
     sites = list(_mutation_sites(base))
     dels = [s for s in sites if s[1] == "del"]
     bumps = [s for s in sites if s[1] == "bump"]
-    sample = _stride_sample(dels, 70) + _stride_sample(bumps, 30)
+    sample = _stride_sample(dels, n_del) + _stride_sample(bumps, n_bump)
     # plus targeted structural fields
     sample += [(("degree_bits",), "bump")]
 
@@ -107,6 +107,21 @@ def test_structural_fuzz_never_raises_uncaught(golden_proof):
             n_value_fail += 1
     # both rejection modes must actually be exercised
     assert n_shape_fail > 0 and n_value_fail > 0
+
+
+def test_structural_fuzz_sample(golden_proof):
+    """Default-tier fuzz: a 20-mutant stride sample — enough to exercise
+    both rejection modes every CI run.  The full 100-mutant sweep
+    (value-fail mutants each run a golden-size verification, and
+    shape-bumping mutants each compile a fresh XLA:CPU verifier — the
+    single biggest default-tier cost in the r5 durations measurement)
+    runs in the slow tier."""
+    _run_structural_fuzz(14, 6)
+
+
+@pytest.mark.slow
+def test_structural_fuzz_full(golden_proof):
+    _run_structural_fuzz(70, 30)
 
 
 def test_stage_timer_and_throughput():
