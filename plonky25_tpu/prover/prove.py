@@ -84,7 +84,8 @@ class TpuProver:
 
     def __init__(self, air: Air, log_n: int, fri_config: FriConfig,
                  lde_mesh=None, lde_log_rows: int = 3,
-                 quotient_eval_chunks: int = 1):
+                 quotient_eval_chunks: int = 1,
+                 quotient_col_groups: int = None):
         # lde_mesh: optional 1-D jax.sharding.Mesh; the trace-LDE NTT then
         # runs through the four-step factorization with its row axis on the
         # mesh (all-to-all butterfly exchange over ICI; ops/ntt.py
@@ -128,6 +129,29 @@ class TpuProver:
         lde_ws = self.width * (1 << self.log_max) * 8 * 4
         self.commit_col_chunks = min(self.width,
                                      -(-lde_ws // (4 << 30)))
+
+        # column-group the chunked-quotient transforms: the strided
+        # point segmentation divides the EVAL intermediates by S, but
+        # the (W, h) coefficient array and each segment's fold product
+        # stay full height — at 2^19 x 620 the quotient module's
+        # compile-time working set hit 23.5G (> the 15.75G HBM) even at
+        # S=16 (the golden-scale depth-2 wall, BASELINE.md r5).
+        # Grouping the per-column transforms under lax.map bounds the
+        # live set to ~(W/G, h) at identical proof bytes.  Target ~2G
+        # per group across ~4 live bufferfuls.
+        if quotient_col_groups is not None:
+            self.quotient_col_groups = quotient_col_groups
+        else:
+            q_ws = self.width * (1 << self.log_n) * 8 * 4
+            self.quotient_col_groups = int(min(
+                self.width, max(1, -(-q_ws // (2 << 30)))))
+
+        # reduced-opening column-slab width (tests override to force the
+        # slab loop at small widths); shrunk adaptively with height in
+        # _ro_fn._col_sum.  _bary_col_slab: None = adaptive-with-height
+        # (tests set a small value to force the slab loop)
+        self._ro_col_slab = 256
+        self._bary_col_slab = None
 
         self._s_commit_trace = jax.jit(self._commit_trace_fn)
         self._s_quotient = jax.jit(self._quotient_fn)
@@ -252,7 +276,34 @@ class TpuProver:
         # bit-identical to the unchunked path, reassembled by stride.
         M = q_size // S
         assert M * S == q_size and M >= 1
-        coeffs = coset_intt(cols, 1)                      # (W, h)
+        # wide traces: compute the per-column coefficient transforms in
+        # G column groups (lax.map) so only ~(W/G, h) is live at once;
+        # grouped results keep a leading (G, Wc) axis that every step
+        # below is generic over, and the group axis is flattened (and
+        # the zero-pad columns sliced off) right after the fold NTTs.
+        G = self.quotient_col_groups
+        Wt = cols.shape[0]
+        if G > 1 and Wt >= 2 * G:
+            # prefer an exact divisor of Wt near the target: the group
+            # reshape then ALIASES the input instead of materializing a
+            # zero-padded copy (2.6G at the 2^19 x 620 golden scale)
+            for d in range(G, min(2 * G, Wt) + 1):
+                if Wt % d == 0:
+                    G = d
+                    break
+            Wc = -(-Wt // G)
+            padW = G * Wc - Wt
+            gcols = cols
+            if padW:
+                gcols = gl.concatenate(
+                    [gcols, gl.zeros((padW,) + gcols.shape[1:])], axis=0)
+            gcols = GL(gcols.lo.reshape((G, Wc) + gcols.shape[1:]),
+                       gcols.hi.reshape((G, Wc) + gcols.shape[1:]))
+            coeffs = jax.lax.map(
+                lambda gc: coset_intt(gc, 1), gcols)      # (G, Wc, h)
+        else:
+            G = 1
+            coeffs = coset_intt(cols, 1)                  # (W, h)
         s2_coeffs = coset_intt(s2_cols, 1) if self.s2w else None
         if M >= h:
             K = 1
@@ -309,13 +360,23 @@ class TpuProver:
                 acc = gl.add(acc, prod[..., k, :])
             return _ntt_flat(acc)
 
+        def _fold_ntt_main(w: GL) -> GL:
+            # main-trace fold: group-mapped when G > 1 (c3 is (G, Wc, K,
+            # M); one (Wc, K, M) product live at a time), then flattened
+            # back to (Wt, M) with the zero-pad columns dropped
+            if G == 1:
+                return _fold_ntt(c3, w)
+            out = jax.lax.map(lambda cg: _fold_ntt(cg, w), c3)
+            flat = GL(out.lo.reshape((-1, M)), out.hi.reshape((-1, M)))
+            return flat[:Wt]
+
         xs_seg = (w_loc, w_nxt, seg_ext(is_first), seg_ext(is_last),
                   seg_ext(is_trans), seg_gl(inv_zeroifier))
 
         def body(args):
             wl, wn, s_first, s_last, s_trans, invz = args
-            loc = _fold_ntt(c3, wl)
-            nxt = _fold_ntt(c3, wn)
+            loc = _fold_ntt_main(wl)
+            nxt = _fold_ntt_main(wn)
             main = _MainVec(
                 ext_of(loc), ext_of(nxt), self.width,
                 ext_of(_fold_ntt(s23, wl)) if self.s2w else None,
@@ -401,10 +462,52 @@ class TpuProver:
 
     def _opened_fn(self, cols: GL, q_evals: GL2, zeta: GL2,
                    s2_cols: GL = None):
-        """Opened values at zeta / zeta*g (barycentric, batched)."""
+        """Opened values at zeta / zeta*g (barycentric, batched).
+
+        Wide+tall traces evaluate in column slabs with the xs /
+        inv-denominator tables shared across slabs: the one-shot
+        barycentric's (W, H) ext `terms` is ~5.2G at the 2^19 x 620
+        composed outer scale.  Per-column math is independent, so the
+        slab partition is bit-identical to the one-shot evaluation."""
         zeta_next = gl2.mul_base(zeta, gl.full((), self.g_t))
-        tl = barycentric_eval_ext(cols, 1, zeta)            # (W,)
-        tn = barycentric_eval_ext(cols, 1, zeta_next)       # (W,)
+
+        def _bary_cols(m: GL, z: GL2) -> GL2:
+            n_ = m.shape[-1]
+            CH = self._bary_col_slab or max(8, (1 << 29) // (n_ * 16))
+            W_ = m.shape[0]
+            if W_ <= 2 * CH:
+                return barycentric_eval_ext(m, 1, z)
+            log_n_ = log2_strict(n_)
+            g_ = Gl.two_adic_generator(log_n_)
+            xs_host = [1]
+            for _ in range(1, n_):
+                xs_host.append(xs_host[-1] * g_ % P)
+            xs_ = gl.from_u64(xs_host)
+            inv_dens = gl2.inv(
+                gl2.sub_base(gl2.broadcast_to(z, (n_,)), xs_))
+            z_n = gl2.exp_power_of_2(z, log_n_)
+            front = gl2.mul_base(
+                gl2.sub_base(z_n, gl.ones(())),
+                gl.full((), Gl.inv(n_ % P)))
+            outs = []
+            for i in range(0, W_, CH):
+                weights = gl.mul(m[i:i + CH], xs_)
+                terms = gl2.mul_base(
+                    gl2.broadcast_to(inv_dens, weights.shape), weights)
+                while terms.c0.lo.shape[-1] > 1:
+                    half = terms.c0.lo.shape[-1] // 2
+                    terms = gl2.add(terms[..., :half], terms[..., half:])
+                tot = GL2(terms.c0[..., 0], terms.c1[..., 0])
+                outs.append(gl2.mul(
+                    gl2.broadcast_to(front, tot.shape), tot))
+            return GL2(
+                GL(jnp.concatenate([o.c0.lo for o in outs]),
+                   jnp.concatenate([o.c0.hi for o in outs])),
+                GL(jnp.concatenate([o.c1.lo for o in outs]),
+                   jnp.concatenate([o.c1.hi for o in outs])))
+
+        tl = _bary_cols(cols, zeta)                         # (W,)
+        tn = _bary_cols(cols, zeta_next)                    # (W,)
         qc = []
         for ci in range(self.n_chunks):
             ev = q_evals[ci::self.n_chunks]
@@ -466,77 +569,50 @@ class TpuProver:
             groups.append((s2_rows, s2n, zeta_next, 2 * w + s2w))
         groups.append((q_rows, qc_flat, zeta, 2 * w + 2 * s2w))
 
+        def _slab_sum(px: GL, pz: GL2, cf: GL2) -> GL2:
+            C = px.shape[-1]
+            num = gl2.add_base(
+                gl2.broadcast_to(gl2.neg(pz), (n, C)), px
+            )
+            weighted = gl2.mul(gl2.broadcast_to(cf, (n, C)), num)
+            acc = weighted
+            while acc.c0.lo.shape[-1] > 1:
+                m = acc.c0.lo.shape[-1]
+                mm = 1 << (m - 1).bit_length()
+                if mm != m:
+                    z_pad = gl2.zeros(acc.c0.lo.shape[:-1] + (mm - m,))
+                    acc = GL2(
+                        gl.concatenate([acc.c0, z_pad.c0], axis=-1),
+                        gl.concatenate([acc.c1, z_pad.c1], axis=-1),
+                    )
+                half = acc.c0.lo.shape[-1] // 2
+                acc = gl2.add(acc[..., :half], acc[..., half:])
+            return GL2(acc.c0[..., 0], acc.c1[..., 0])
+
         def _col_sum(p_at_x: GL, p_at_z: GL2, coef: GL2) -> GL2:
             """sum_c coef_c * (p_c(x) - p_c(z)) over the column axis.
 
             Wide matrices (Keccak: C=2633 at n=2^13 rows) stream in
-            column chunks via lax.scan — the (n, C) ext temporary
-            (5.5GB at B=16) is the reduced-opening HBM peak otherwise.
-            GF(p) addition is exact and associative, so the chunked
-            accumulation is value-identical to any other order."""
+            column slabs — the one-shot (n, C) ext temporary (5.5GB at
+            keccak B=16) is the reduced-opening HBM peak otherwise.
+            Slabs are UNROLLED static slices, so XLA reads each (n, CH)
+            slab straight from the committed rows (the earlier scan
+            formulation materialized a padded + transposed copy of the
+            whole matrix — a second ~13G live set at the 2^20 x 620
+            composed outer scale), and CH shrinks with height to keep
+            each slab's ext temporaries ~0.5G.  GF(p) addition is exact
+            and associative, so any slab partition is value-identical."""
             C = p_at_x.shape[-1]
-            CH = 256
+            CH = self._ro_col_slab
+            while n * CH * 16 > (1 << 29) and CH > 32:
+                CH //= 2
             if C <= 2 * CH:
-                num = gl2.add_base(
-                    gl2.broadcast_to(gl2.neg(p_at_z), (n, C)), p_at_x
-                )
-                weighted = gl2.mul(gl2.broadcast_to(coef, (n, C)), num)
-                acc = weighted
-                while acc.c0.lo.shape[-1] > 1:
-                    m = acc.c0.lo.shape[-1]
-                    mm = 1 << (m - 1).bit_length()
-                    if mm != m:
-                        z_pad = gl2.zeros(acc.c0.lo.shape[:-1] + (mm - m,))
-                        acc = GL2(
-                            gl.concatenate([acc.c0, z_pad.c0], axis=-1),
-                            gl.concatenate([acc.c1, z_pad.c1], axis=-1),
-                        )
-                    half = acc.c0.lo.shape[-1] // 2
-                    acc = gl2.add(acc[..., :half], acc[..., half:])
-                return GL2(acc.c0[..., 0], acc.c1[..., 0])
-
-            n_ch = -(-C // CH)
-            pad = n_ch * CH - C
-            if pad:
-                # zero coef nulls the padded columns' contribution
-                px = GL(
-                    jnp.concatenate(
-                        [p_at_x.lo, jnp.zeros((n, pad), jnp.uint32)], -1),
-                    jnp.concatenate(
-                        [p_at_x.hi, jnp.zeros((n, pad), jnp.uint32)], -1),
-                )
-                pz = GL2(gl.concatenate([p_at_z.c0, gl.zeros((pad,))], -1),
-                         gl.concatenate([p_at_z.c1, gl.zeros((pad,))], -1))
-                cf = GL2(gl.concatenate([coef.c0, gl.zeros((pad,))], -1),
-                         gl.concatenate([coef.c1, gl.zeros((pad,))], -1))
-            else:
-                px, pz, cf = p_at_x, p_at_z, coef
-
-            def seg_cols(a, trail_n=False):
-                # (..., n_ch*CH) -> (n_ch, ..., CH)
-                r = a.reshape(a.shape[:-1] + (n_ch, CH))
-                return jnp.moveaxis(r, -2, 0)
-
-            xs_scan = (
-                GL(seg_cols(px.lo), seg_cols(px.hi)),
-                GL2(GL(seg_cols(pz.c0.lo), seg_cols(pz.c0.hi)),
-                    GL(seg_cols(pz.c1.lo), seg_cols(pz.c1.hi))),
-                GL2(GL(seg_cols(cf.c0.lo), seg_cols(cf.c0.hi)),
-                    GL(seg_cols(cf.c1.lo), seg_cols(cf.c1.hi))),
-            )
-
-            def body(acc, xs_):
-                px_, pz_, cf_ = xs_
-                num = gl2.add_base(
-                    gl2.broadcast_to(gl2.neg(pz_), (n, CH)), px_)
-                weighted = gl2.mul(gl2.broadcast_to(cf_, (n, CH)), num)
-                s = weighted
-                while s.c0.lo.shape[-1] > 1:
-                    half = s.c0.lo.shape[-1] // 2
-                    s = gl2.add(s[..., :half], s[..., half:])
-                return gl2.add(acc, GL2(s.c0[..., 0], s.c1[..., 0])), None
-
-            acc, _ = jax.lax.scan(body, gl2.zeros((n,)), xs_scan)
+                return _slab_sum(p_at_x, p_at_z, coef)
+            acc = gl2.zeros((n,))
+            for i in range(0, C, CH):
+                acc = gl2.add(acc, _slab_sum(
+                    p_at_x[:, i:i + CH], p_at_z[i:i + CH],
+                    coef[i:i + CH]))
             return acc
 
         ro = gl2.zeros((n,))

@@ -56,6 +56,96 @@ def test_chunked_quotient_eval_fast_tier():
     _deep_eq(got, base, path="fast-S2")
 
 
+class _Wide5Air:
+    """Wide AIR for the column-grouped quotient path: the default width
+    5 is odd so G=2 grouping zero-pads one column (Wc=3, padW=1); width
+    6 exercises the exact-divisor (no-pad, input-aliased) branch."""
+
+    def __init__(self, w: int = 5):
+        self._w = w
+
+    def name(self):
+        return f"Wide{self._w}"
+
+    def width(self):
+        return self._w
+
+    def stage2_width(self):
+        return 0
+
+    def num_challenges(self):
+        return 0
+
+    def public_values(self):
+        return {}
+
+    def quotient_degree(self):
+        return 2
+
+    def eval(self, folder):
+        ops = folder.ops
+        loc = folder.main.trace_local[:self._w]
+        nxt = folder.main.trace_next[:self._w]
+        tot = loc[0]
+        for v in loc[1:]:
+            tot = ops.add(tot, v)
+        folder.when_transition().assert_eq(nxt[0], tot)
+        folder.when_first_row().assert_eq(loc[0], ops.one())
+
+
+def _wide5_trace(h, w=5):
+    import random
+
+    from plonky25_tpu.constants import GOLDILOCKS_P as GP
+
+    rng = random.Random(11)
+    rows = [[1] + [rng.randrange(GP) for _ in range(w - 1)]]
+    for _ in range(h - 1):
+        rows.append([sum(rows[-1]) % GP]
+                    + [rng.randrange(GP) for _ in range(w - 1)])
+    return rows
+
+
+def test_quotient_col_groups_bit_equal():
+    """The column-grouped chunked-quotient path (grouped coefficient
+    transforms + group-mapped fold NTTs, the golden-scale depth-2 HBM
+    fix) is bit-identical to the ungrouped strided path — both when
+    grouping zero-pads the trailing group (W=5, G=2) and on the
+    exact-divisor input-aliased branch (W=6, G=2)."""
+    from plonky25_tpu.prover.prove import TpuProver
+
+    fc = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
+    tr = _wide5_trace(32)
+    base = TpuProver(_Wide5Air(), 5, fc).prove(tr)
+    for s, g in ((2, 2), (4, 2)):
+        got = TpuProver(_Wide5Air(), 5, fc, quotient_eval_chunks=s,
+                        quotient_col_groups=g).prove(tr)
+        _deep_eq(got, base, path=f"S={s},G={g}")
+
+    air6 = _Wide5Air(6)
+    tr6 = _wide5_trace(32, 6)
+    base6 = TpuProver(air6, 5, fc).prove(tr6)
+    got6 = TpuProver(air6, 5, fc, quotient_eval_chunks=2,
+                     quotient_col_groups=2).prove(tr6)
+    _deep_eq(got6, base6, path="W6,S2,G2")
+
+
+def test_opening_col_slabs_bit_equal():
+    """Forcing the reduced-opening column-slab loop AND the slab
+    barycentric opened-values path (both normally engaged only for
+    wide/tall traces — the golden-scale composed outer) at W=5 is
+    bit-identical to the one-shot paths."""
+    from plonky25_tpu.prover.prove import TpuProver
+
+    fc = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
+    tr = _wide5_trace(32)
+    base = TpuProver(_Wide5Air(), 5, fc).prove(tr)
+    p = TpuProver(_Wide5Air(), 5, fc)
+    p._ro_col_slab = 2      # 3 slabs of (2, 2, 1) columns
+    p._bary_col_slab = 2
+    _deep_eq(p.prove(tr), base, path="slab2")
+
+
 @pytest.mark.slow
 def test_chunked_quotient_eval_bit_equal():
     """quotient_eval_chunks > 1 (strided sub-coset segmentation: locals/
