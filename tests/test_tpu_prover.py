@@ -106,41 +106,61 @@ def _wide5_trace(h, w=5):
     return rows
 
 
-def test_quotient_col_groups_bit_equal():
+_W5_FC = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
+
+
+@pytest.fixture(scope="module")
+def wide5_base():
+    """Unchunked W=5 baseline proof shared by the slab/group tests (one
+    XLA:CPU prover compile set instead of one per test)."""
+    from plonky25_tpu.prover.prove import TpuProver
+
+    tr = _wide5_trace(32)
+    return TpuProver(_Wide5Air(), 5, _W5_FC).prove(tr), tr
+
+
+def test_quotient_col_groups_bit_equal(wide5_base):
     """The column-grouped chunked-quotient path (grouped coefficient
     transforms + group-mapped fold NTTs, the golden-scale depth-2 HBM
-    fix) is bit-identical to the ungrouped strided path — both when
-    grouping zero-pads the trailing group (W=5, G=2) and on the
+    fix) is bit-identical to the ungrouped strided path when grouping
+    zero-pads the trailing group (W=5, G=2).  The full sweep (S=4 and
+    the exact-divisor branch) is @slow below."""
+    from plonky25_tpu.prover.prove import TpuProver
+
+    base, tr = wide5_base
+    got = TpuProver(_Wide5Air(), 5, _W5_FC, quotient_eval_chunks=2,
+                    quotient_col_groups=2).prove(tr)
+    _deep_eq(got, base, path="S=2,G=2")
+
+
+@pytest.mark.slow
+def test_quotient_col_groups_sweep_bit_equal(wide5_base):
+    """Column-group sweep: deeper point segmentation (S=4) and the
     exact-divisor input-aliased branch (W=6, G=2)."""
     from plonky25_tpu.prover.prove import TpuProver
 
-    fc = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
-    tr = _wide5_trace(32)
-    base = TpuProver(_Wide5Air(), 5, fc).prove(tr)
-    for s, g in ((2, 2), (4, 2)):
-        got = TpuProver(_Wide5Air(), 5, fc, quotient_eval_chunks=s,
-                        quotient_col_groups=g).prove(tr)
-        _deep_eq(got, base, path=f"S={s},G={g}")
+    base, tr = wide5_base
+    got = TpuProver(_Wide5Air(), 5, _W5_FC, quotient_eval_chunks=4,
+                    quotient_col_groups=2).prove(tr)
+    _deep_eq(got, base, path="S=4,G=2")
 
     air6 = _Wide5Air(6)
     tr6 = _wide5_trace(32, 6)
-    base6 = TpuProver(air6, 5, fc).prove(tr6)
-    got6 = TpuProver(air6, 5, fc, quotient_eval_chunks=2,
+    base6 = TpuProver(air6, 5, _W5_FC).prove(tr6)
+    got6 = TpuProver(air6, 5, _W5_FC, quotient_eval_chunks=2,
                      quotient_col_groups=2).prove(tr6)
     _deep_eq(got6, base6, path="W6,S2,G2")
 
 
-def test_opening_col_slabs_bit_equal():
+def test_opening_col_slabs_bit_equal(wide5_base):
     """Forcing the reduced-opening column-slab loop AND the slab
     barycentric opened-values path (both normally engaged only for
     wide/tall traces — the golden-scale composed outer) at W=5 is
     bit-identical to the one-shot paths."""
     from plonky25_tpu.prover.prove import TpuProver
 
-    fc = FriConfig(log_blowup=1, num_queries=2, proof_of_work_bits=1)
-    tr = _wide5_trace(32)
-    base = TpuProver(_Wide5Air(), 5, fc).prove(tr)
-    p = TpuProver(_Wide5Air(), 5, fc)
+    base, tr = wide5_base
+    p = TpuProver(_Wide5Air(), 5, _W5_FC)
     p._ro_col_slab = 2      # 3 slabs of (2, 2, 1) columns
     p._bary_col_slab = 2
     _deep_eq(p.prove(tr), base, path="slab2")
