@@ -1,1 +1,2 @@
 from .fibonacci import FibonacciAir  # noqa: F401
+from .multiset_air import MultisetAir  # noqa: F401
